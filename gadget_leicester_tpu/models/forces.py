@@ -1,0 +1,173 @@
+"""Force-computation orchestrator — rebuild of [G2: accel.c ::
+compute_accelerations()] plus the per-force comoving factor plumbing from
+[G2: gravtree.c, hydra.c].
+
+Fixed order, as in the reference: long-range PM (PM steps only) ->
+short-range/tree gravity -> SPH density (adaptive h) -> SPH hydro force.
+
+Gravity backend selection is static (SimOptions/GravityMode): "direct"
+(all-pairs oracle & small-N path), "tree" (Barnes-Hut), "treepm"
+(tree short-range + FFT long-range). All backends return acceleration
+WITHOUT the G factor; it is applied once here [G2: gravtree.c applies
+All.G at the end].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gadget_leicester_tpu.core.config import GAMMA, SimConfig, SimOptions
+from gadget_leicester_tpu.core.cosmology import hubble_function
+from gadget_leicester_tpu.core.state import SimState
+from gadget_leicester_tpu.core import timeline
+from gadget_leicester_tpu.ops.gravity_direct import direct_gravity
+from gadget_leicester_tpu.ops.sph_dense import density_adaptive, hydro_force
+from gadget_leicester_tpu.ops.softening import SOFTFAC
+
+
+class ComovingFactors(NamedTuple):
+    """All a(t)-dependent factors used by one force pass [G2: hydra.c head]."""
+
+    atime: jnp.ndarray        # a (1 for physical)
+    hubble_a: jnp.ndarray     # H(a) (1 for physical)
+    hubble_a2_flow: jnp.ndarray  # a^2 H for the pairwise Hubble-flow term (0 physical)
+    hubble_a2_norm: jnp.ndarray  # a^2 H for DtEntropy normalisation (1 physical)
+    fac_mu: jnp.ndarray       # a^{3(gamma-1)/2 - 1} (1 physical)
+    a3inv: jnp.ndarray        # 1/a^3 (1 physical)
+
+
+def comoving_factors(cfg: SimConfig, ti_current) -> ComovingFactors:
+    one = jnp.asarray(1.0)
+    if not cfg.comoving_integration_on:
+        z = jnp.asarray(0.0)
+        return ComovingFactors(one, one, z, one, one, one)
+    a = cfg.time_begin * jnp.exp(ti_current * cfg.timebase_interval)
+    h_a = hubble_function(a, cfg.omega0, cfg.omega_lambda, cfg.hubble_internal)
+    ha2 = a * a * h_a
+    fac_mu = a ** (3.0 * (GAMMA - 1.0) / 2.0) / a
+    return ComovingFactors(a, h_a, ha2, ha2, fac_mu, 1.0 / a**3)
+
+
+def softening_table(cfg: SimConfig, atime: float | jnp.ndarray = 1.0):
+    """Per-type Plummer softening, with comoving->physical capping
+    [G2: gravtree.c :: set_softenings()]: in comoving runs the physical
+    softening eps_phys = a * eps_com is capped at SofteningMaxPhys, i.e.
+    the comoving table entry becomes min(eps_com, maxphys/a)."""
+    eps = jnp.asarray(cfg.softenings)
+    if cfg.comoving_integration_on:
+        maxphys = jnp.asarray(cfg.softenings_max_phys)
+        capped = jnp.where(maxphys > 0, jnp.minimum(eps, maxphys / atime), eps)
+        return capped
+    return eps
+
+
+def gather_gas(state: SimState):
+    """Views of the gas block (slots [0, n_gas_max)) of particle arrays."""
+    ng = state.gas.n_gas_max
+    p = state.p
+    gas_mask = p.alive[:ng] & (p.ptype[:ng] == 0)
+    return p.pos[:ng], p.mass[:ng], gas_mask
+
+
+def compute_forces(
+    state: SimState,
+    cfg: SimConfig,
+    opts: SimOptions,
+    do_sph: bool = True,
+) -> SimState:
+    """One full force computation at the current sync point.
+
+    Updates: p.acc, p.pot, gas.{density,hsml,pressure,div_vel,curl_vel,
+    dhsml_density_factor,max_signal_vel,hydro_acc,dt_entropy,num_ngb}.
+    """
+    p = state.p
+    fac = comoving_factors(cfg, state.ti_current)
+
+    # ----- gravity ------------------------------------------------------
+    if not opts.nogravity:
+        eps = softening_table(cfg, fac.atime)
+        soft = SOFTFAC * eps[p.ptype]  # force softening h = 2.8 eps
+        acc, pot = direct_gravity(
+            p.pos, p.mass, soft, p.alive,
+            box=cfg.box_size,
+            periodic=opts.periodic,
+        )
+        acc = acc * cfg.grav_internal
+        pot = pot * cfg.grav_internal
+        if cfg.comoving_integration_on and not opts.periodic:
+            # vacuum-boundary comoving runs need the homogeneous-background
+            # correction term [G2: gravtree.c comoving correction]:
+            # acc += Omega0 H0^2 / 2 * a^... * pos  (background subtraction)
+            corr = 0.5 * cfg.omega0 * cfg.hubble_internal**2
+            acc = acc + corr * p.pos
+        acc = jnp.where(p.alive[:, None], acc, 0.0)
+    else:
+        acc = jnp.zeros_like(p.acc)
+        pot = jnp.zeros_like(p.pot)
+
+    old_acc = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+    p = dataclasses.replace(p, acc=acc, pot=pot, old_acc=old_acc)
+    state = dataclasses.replace(state, p=p)
+
+    # ----- SPH ----------------------------------------------------------
+    if do_sph and state.gas.n_gas_max > 1:
+        state = compute_sph(state, cfg, opts, fac)
+    return state
+
+
+def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
+                fac: ComovingFactors) -> SimState:
+    """density() -> hydro_force() [G2: accel.c ordering]."""
+    gas = state.gas
+    pos_g, mass_g, gas_mask = gather_gas(state)
+    eps_gas = softening_table(cfg, fac.atime)[0]
+    min_hsml = cfg.min_gas_hsml_fractional * SOFTFAC * eps_gas
+
+    dres = density_adaptive(
+        pos_g, gas.vel_pred, mass_g, gas.hsml, gas_mask,
+        des_num_ngb=cfg.des_num_ngb,
+        max_dev=cfg.max_num_ngb_deviation,
+        min_hsml=min_hsml,
+        box=cfg.box_size,
+        periodic=opts.periodic,
+    )
+    # entropy-form pressure P = A_pred rho^gamma [G2: density.c tail]
+    if opts.isotherm_eqs:
+        # isothermal EOS: P = c_s^2 rho, entropy slot stores c_s^2
+        pressure = gas.entropy_pred * dres.rho
+    else:
+        pressure = gas.entropy_pred * dres.rho**GAMMA
+    pressure = jnp.where(gas_mask, pressure, 0.0)
+
+    hres = hydro_force(
+        pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho, pressure,
+        dres.dhsml_factor, dres.div_vel, dres.curl_vel, gas_mask,
+        visc_const=cfg.art_bulk_visc_const,
+        box=cfg.box_size,
+        periodic=opts.periodic,
+        hubble_a2_flow=fac.hubble_a2_flow,
+        hubble_a2_norm=fac.hubble_a2_norm,
+        fac_mu=fac.fac_mu,
+    )
+    dt_entropy = hres.dt_entropy
+    if opts.isotherm_eqs:
+        dt_entropy = jnp.zeros_like(dt_entropy)  # entropy fixed (isothermal)
+
+    gas = dataclasses.replace(
+        gas,
+        density=dres.rho,
+        hsml=dres.hsml,
+        pressure=pressure,
+        div_vel=dres.div_vel,
+        curl_vel=dres.curl_vel,
+        dhsml_density_factor=dres.dhsml_factor,
+        num_ngb=dres.num_ngb_eff,
+        hydro_acc=hres.acc,
+        dt_entropy=dt_entropy,
+        max_signal_vel=hres.max_signal_vel,
+    )
+    return dataclasses.replace(state, gas=gas)

@@ -1,0 +1,204 @@
+"""The simulation driver — rebuild of [G2: run.c :: run()] and
+[G2: init.c :: init()] / [G2: begrun.c :: begrun()].
+
+The reference's main loop { find sync point -> drift -> domain decompose ->
+forces -> kick -> output } becomes: a single jitted ``sync_point_step``
+(state -> state, fully on-device) driven by a thin host loop that handles
+wall-clock concerns only (snapshots, restart dumps, logging) — the host
+never touches particle data between steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gadget_leicester_tpu.core.config import (GAMMA, GAMMA_MINUS1, TIMEBASE,
+                                              BOLTZMANN_CGS, HYDROGEN_MASSFRAC,
+                                              PROTONMASS_CGS, SimConfig,
+                                              SimOptions)
+from gadget_leicester_tpu.core import timeline
+from gadget_leicester_tpu.core.state import SimState, from_arrays
+from gadget_leicester_tpu.models import integrate
+from gadget_leicester_tpu.models.forces import compute_forces, comoving_factors
+from gadget_leicester_tpu.models.cooling import apply_cooling
+from gadget_leicester_tpu.models.sinks import accrete_onto_sinks
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts"))
+def sync_point_step(state: SimState, cfg: SimConfig, opts: SimOptions) -> SimState:
+    """One sync-point iteration of the main loop [G2: run.c]."""
+    ti_next = timeline.min_active_ti_end(state.p.ti_endstep, state.p.alive)
+    state = integrate.drift_all(state, cfg, opts, ti_next)
+    state = compute_forces(state, cfg, opts)
+    if opts.cooling != "none":
+        state = apply_cooling(state, cfg, opts)
+    if opts.sinks:
+        state = accrete_onto_sinks(state, cfg, opts)
+    state = integrate.advance_and_find_timesteps(state, cfg, opts)
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts", "n_steps"))
+def run_steps(state: SimState, cfg: SimConfig, opts: SimOptions,
+              n_steps: int) -> SimState:
+    """n sync-point iterations fused into one device program (lax.scan) —
+    zero host round-trips; this is the bench path."""
+
+    def body(st, _):
+        return sync_point_step(st, cfg, opts), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Initialisation [G2: init.c]
+# ---------------------------------------------------------------------------
+def _initial_hsml_guess(pos: np.ndarray, mask: np.ndarray, des_ngb: float) -> float:
+    """Mean-interparticle-spacing h guess; the adaptive solve refines it."""
+    if mask.sum() == 0:
+        return 1.0
+    pts = pos[mask]
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    vol = float(np.prod(np.maximum(hi - lo, 1e-10)))
+    n = int(mask.sum())
+    return float((3.0 * vol * des_ngb / (4.0 * np.pi * max(n, 1))) ** (1.0 / 3.0))
+
+
+def init_state(
+    cfg: SimConfig,
+    opts: SimOptions,
+    pos: np.ndarray,
+    vel: np.ndarray,
+    mass: np.ndarray,
+    ptype: np.ndarray,
+    pid: Optional[np.ndarray] = None,
+    u: Optional[np.ndarray] = None,
+    pad: bool = True,
+) -> SimState:
+    """IC arrays -> consistent runtime state [G2: init.c :: init()]:
+
+    * velocities scaled for comoving runs (snapshot stores v_snap with
+      v_internal = v_snap * a^{3/2}... GADGET: P.Vel *= sqrt(a)*a for gadget
+      convention u_int = a^2 dx/dt; here we adopt the GADGET internal
+      convention directly: vel_internal = v_snap * a0^{1/2} is applied by
+      the IO layer, not here)
+    * initial smoothing lengths solved by the adaptive density pass
+    * thermal energy u -> entropy A = (gamma-1) u / rho^{gamma-1}
+    * first full force computation so the first kick has accelerations
+    """
+    n = pos.shape[0]
+    if pid is None:
+        pid = np.arange(1, n + 1)
+    state = from_arrays(pos, vel, mass, ptype, pid, opts, u=u, pad=pad)
+
+    ng = state.gas.n_gas_max
+    gas_mask_np = np.zeros(ng, bool)
+    n_gas = int((ptype == 0).sum())
+    gas_mask_np[:n_gas] = True
+
+    if n_gas:
+        # initial h guess, then let density_adaptive converge it
+        h0 = _initial_hsml_guess(np.asarray(pos), ptype == 0, cfg.des_num_ngb)
+        gas = state.gas
+        hsml = gas.hsml.at[:n_gas].set(h0)
+        # u from InitGasTemp if ICs carry no thermal energy [G2: init.c]
+        u_arr = np.zeros(ng)
+        if u is not None:
+            u_arr[:n_gas] = np.asarray(u)[:n_gas]
+        if cfg.init_gas_temp > 0 and (u is None or np.all(u_arr[:n_gas] == 0)):
+            mean_mol = 4.0 / (1.0 + 3.0 * HYDROGEN_MASSFRAC)
+            u_init = (
+                BOLTZMANN_CGS / PROTONMASS_CGS * cfg.init_gas_temp / mean_mol
+                / GAMMA_MINUS1 / cfg.unit_velocity_in_cm_per_s**2
+            )
+            u_arr[:n_gas] = u_init
+        gas = dataclasses.replace(
+            gas,
+            hsml=hsml,
+            entropy=gas.entropy.at[:].set(jnp.asarray(u_arr, gas.entropy.dtype)),
+            vel_pred=state.p.vel[:ng],
+        )
+        state = dataclasses.replace(state, gas=gas)
+
+        # first density pass to convert u -> entropy
+        state = compute_forces(state, cfg, opts, do_sph=True)
+        gas = state.gas
+        rho_safe = jnp.where(gas.density > 0, gas.density, 1.0)
+        if opts.isotherm_eqs:
+            # entropy slot stores c_s^2 = (gamma-1) u (isothermal sound speed^2)
+            a_ent = GAMMA_MINUS1 * gas.entropy
+        else:
+            a_ent = GAMMA_MINUS1 * gas.entropy / rho_safe**GAMMA_MINUS1
+        gas_mask = jnp.asarray(gas_mask_np)
+        a_ent = jnp.where(gas_mask, a_ent, 0.0)
+        gas = dataclasses.replace(gas, entropy=a_ent, entropy_pred=a_ent)
+        state = dataclasses.replace(state, gas=gas)
+        # pressure now that entropy is real entropy
+        if opts.isotherm_eqs:
+            pressure = a_ent * gas.density
+        else:
+            pressure = a_ent * gas.density**GAMMA
+        state = dataclasses.replace(
+            state, gas=dataclasses.replace(gas, pressure=pressure)
+        )
+        # recompute hydro forces with the true entropy-based pressure
+        state = compute_forces(state, cfg, opts, do_sph=True)
+    else:
+        state = compute_forces(state, cfg, opts, do_sph=False)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver
+# ---------------------------------------------------------------------------
+class Simulation:
+    """begrun()/run() equivalent: owns config, state, and the host loop."""
+
+    def __init__(self, cfg: SimConfig, opts: Optional[SimOptions] = None):
+        from gadget_leicester_tpu.core.config import options_from_config
+        self.cfg = cfg
+        self.opts = opts if opts is not None else options_from_config(cfg)
+        self.state: Optional[SimState] = None
+        self.step_count = 0
+
+    def set_ics(self, pos, vel, mass, ptype, pid=None, u=None):
+        self.state = init_state(self.cfg, self.opts, pos, vel, mass, ptype,
+                                pid=pid, u=u)
+        return self.state
+
+    @property
+    def time(self) -> float:
+        return float(timeline.ti_to_time(self.state.ti_current, self.cfg))
+
+    def step(self, n: int = 1):
+        if n == 1:
+            self.state = sync_point_step(self.state, self.cfg, self.opts)
+        else:
+            self.state = run_steps(self.state, self.cfg, self.opts, n)
+        self.step_count += n
+        return self.state
+
+    def run_until(self, time_end: Optional[float] = None,
+                  max_steps: int = 100000, callback=None):
+        """Host loop until `time_end` (defaults to TimeMax) [G2: run.c]."""
+        cfg = self.cfg
+        t_end = cfg.time_max if time_end is None else time_end
+        if cfg.comoving_integration_on:
+            ti_end = int(round(np.log(t_end / cfg.time_begin) / cfg.timebase_interval))
+        else:
+            ti_end = int(round((t_end - cfg.time_begin) / cfg.timebase_interval))
+        ti_end = min(ti_end, TIMEBASE)
+        for _ in range(max_steps):
+            if int(self.state.ti_current) >= ti_end:
+                break
+            self.step()
+            if callback is not None:
+                callback(self)
+        return self.state

@@ -1,0 +1,173 @@
+"""Cell-list neighbour infrastructure — the TPU-native replacement for the
+reference's tree-walk neighbour search [G2: ngb.c ::
+ngb_treefind_variable()/ngb_treefind_pairs()].
+
+The reference finds SPH neighbours by walking the gravity octree with
+per-particle pointer chasing. TPU-first redesign (BASELINE.json north star:
+"sorted cell lists"):
+
+* bin particles into a uniform grid with FIXED per-cell capacity
+  (static shapes; overflow detected, handled by recompute-with-bigger —
+  the analog of GADGET's buffer-overflow bunching [SURVEY.md §5]);
+* particles sorted by cell id (``jax.lax.sort`` = the Morton/PH-order
+  analog of [G2: peano.c :: peano_hilbert_order()] for cache locality);
+* interactions evaluated target-block x 27-stencil-candidates as wide
+  masked vector ops — every op static-shape, VPU-friendly.
+
+The same structure serves SPH density (gather), SPH hydro (symmetric
+pairs, cell >= global max h) and TreePM short-range gravity (cell >= rcut).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class CellList:
+    cells: jnp.ndarray      # [n_cells^3, capacity] int32 particle idx, -1 pad
+    cell_of: jnp.ndarray    # [N] int32 flat cell id per particle
+    counts: jnp.ndarray     # [n_cells^3] int32 occupancy (may exceed capacity!)
+    overflow: jnp.ndarray   # bool scalar — any cell over capacity
+    origin: jnp.ndarray     # [3] grid origin
+    inv_cell: jnp.ndarray   # [3] 1/cell_size
+    n_cells: int            # STATIC per-axis cell count (pytree metadata)
+    periodic: bool          # STATIC (pytree metadata)
+
+
+jax.tree_util.register_dataclass(
+    CellList,
+    data_fields=["cells", "cell_of", "counts", "overflow", "origin", "inv_cell"],
+    meta_fields=["n_cells", "periodic"],
+)
+
+
+def _flat_cell_id(coords, n_cells):
+    return (coords[..., 0] * n_cells + coords[..., 1]) * n_cells + coords[..., 2]
+
+
+@partial(jax.jit, static_argnames=("n_cells", "capacity", "periodic"))
+def build_cell_list(
+    pos,
+    mask,
+    origin,
+    extent,
+    n_cells: int,
+    capacity: int,
+    periodic: bool = False,
+) -> CellList:
+    """Bin `pos` into an n_cells^3 grid over [origin, origin+extent).
+
+    Dead/masked particles land in no cell. Overflowing cells drop the
+    excess (reported via ``overflow``; callers re-run with a larger
+    capacity — recompute-bigger fallback, SURVEY.md §5).
+    """
+    n = pos.shape[0]
+    origin = jnp.broadcast_to(jnp.asarray(origin, pos.dtype), (3,))
+    extent = jnp.broadcast_to(jnp.asarray(extent, pos.dtype), (3,))
+    inv_cell = n_cells / extent
+    rel = (pos - origin) * inv_cell
+    coords = jnp.floor(rel).astype(jnp.int32)
+    if periodic:
+        coords = jnp.mod(coords, n_cells)
+    else:
+        coords = jnp.clip(coords, 0, n_cells - 1)
+    cid = _flat_cell_id(coords, n_cells)
+    total = n_cells**3
+    cid = jnp.where(mask, cid, total)  # dead -> sentinel bucket
+
+    order = jnp.argsort(cid)  # dead sort to the end
+    cid_sorted = cid[order]
+    # rank within cell: i - index of first occurrence of this cid
+    first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+
+    cells = jnp.full((total + 1, capacity), -1, jnp.int32)
+    ok = rank < capacity
+    cells = cells.at[
+        jnp.where(ok, cid_sorted, total),
+        jnp.where(ok, rank, 0),
+    ].set(jnp.where(ok, order.astype(jnp.int32), -1), mode="drop")
+    counts = jnp.zeros((total + 1,), jnp.int32).at[cid_sorted].add(1)
+    overflow = jnp.any(counts[:total] > capacity)
+    return CellList(
+        cells=cells[:total],
+        cell_of=jnp.where(mask, _flat_cell_id(coords, n_cells), -1),
+        counts=counts[:total],
+        overflow=overflow,
+        origin=origin,
+        inv_cell=inv_cell,
+        n_cells=n_cells,
+        periodic=periodic,
+    )
+
+
+def _stencil_cids(coords, n_cells: int, periodic: bool):
+    """[..., 27] flat cell ids of the 3^3 stencil around integer coords.
+    Out-of-range cells (non-periodic) -> -1."""
+    offs = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), -1
+    ).reshape(27, 3)
+    c = coords[..., None, :] + offs  # [..., 27, 3]
+    if periodic:
+        c = jnp.mod(c, n_cells)
+        valid = jnp.ones(c.shape[:-1], bool)
+    else:
+        valid = jnp.all((c >= 0) & (c < n_cells), axis=-1)
+        c = jnp.clip(c, 0, n_cells - 1)
+    cid = _flat_cell_id(c, n_cells)
+    return jnp.where(valid, cid, -1)
+
+
+def candidate_indices(cl: CellList, target_pos):
+    """For each target position: [T, 27*capacity] candidate particle
+    indices (-1 = none). Memory is bounded by the caller blocking targets."""
+    rel = (target_pos - cl.origin) * cl.inv_cell
+    coords = jnp.floor(rel).astype(jnp.int32)
+    if cl.periodic:
+        coords = jnp.mod(coords, cl.n_cells)
+    else:
+        coords = jnp.clip(coords, 0, cl.n_cells - 1)
+    cids = _stencil_cids(coords, cl.n_cells, cl.periodic)      # [T,27]
+    safe = jnp.maximum(cids, 0)
+    cand = cl.cells[safe]                                      # [T,27,cap]
+    cand = jnp.where(cids[..., None] >= 0, cand, -1)
+    return cand.reshape(target_pos.shape[0], -1)               # [T,27*cap]
+
+
+def apply_pairwise(
+    cl: CellList,
+    target_pos,
+    pair_fn,
+    block: int = 256,
+):
+    """Blocked evaluation driver: for each target block, gather the stencil
+    candidates and call ``pair_fn(tgt_idx, tgt_pos, cand_idx)`` where
+    tgt_idx is [B] global target indices (clipped for the padded tail —
+    those rows are discarded), tgt_pos is [B,3], and cand_idx is
+    [B, 27*cap] (-1 padded). ``pair_fn`` returns a pytree of per-target
+    reductions; results are concatenated over blocks.
+
+    This is the rebuild of the export/evaluate/return bunch loop
+    [G2: gravtree.c BunchSizeForce] — but as static-shape blocks.
+    """
+    t = target_pos.shape[0]
+    nb = -(-t // block)
+    tpad = nb * block
+    pos_p = jnp.pad(target_pos, ((0, tpad - t), (0, 0)))
+
+    def one_block(i):
+        start = i * block
+        idx = jnp.minimum(start + jnp.arange(block, dtype=jnp.int32), t - 1)
+        tp = jax.lax.dynamic_slice(pos_p, (start, 0), (block, 3))
+        cand = candidate_indices(cl, tp)
+        return pair_fn(idx, tp, cand)
+
+    out = jax.lax.map(one_block, jnp.arange(nb))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((tpad,) + x.shape[2:])[:t], out
+    )

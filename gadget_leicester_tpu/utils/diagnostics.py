@@ -1,0 +1,75 @@
+"""Energy/conservation diagnostics — rebuild of [G2: global.c ::
+compute_global_quantities_of_system() / energy_statistics()] writing
+``energy.txt``, the reference's primary regression signal (the rebuild's
+acceptance gate is |dE/E| < 1e-3 per BASELINE.md).
+
+Energies are evaluated at the CURRENT sync time with velocities closed to
+the sync point (half-kick closure), which removes the half-step offset the
+reference's energy.txt carries — strictly better as a conservation
+instrument, and reducible to the reference's convention if needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gadget_leicester_tpu.core.config import GAMMA_MINUS1, SimConfig, SimOptions
+from gadget_leicester_tpu.core import cosmology
+from gadget_leicester_tpu.core.state import SimState
+from gadget_leicester_tpu.models.integrate import _midpoint_ti
+
+
+class EnergyStats(NamedTuple):
+    kinetic: jnp.ndarray
+    internal: jnp.ndarray
+    potential: jnp.ndarray
+    total: jnp.ndarray
+    momentum: jnp.ndarray   # [3]
+    ang_mom: jnp.ndarray    # [3]
+    mass: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts"))
+def energy_statistics(state: SimState, cfg: SimConfig, opts: SimOptions) -> EnergyStats:
+    p, gas = state.p, state.gas
+    ng = gas.n_gas_max
+    m = jnp.where(p.alive, p.mass, 0.0)
+
+    # close velocities to the sync point (from each particle's midpoint)
+    mid = _midpoint_ti(p.ti_begstep, p.ti_endstep)
+    dt_gk = cosmology.gravkick_factor(None, cfg, mid, state.ti_current)
+    dt_hk = cosmology.hydrokick_factor(None, cfg, mid, state.ti_current)
+    hyd = jnp.zeros_like(p.acc).at[:ng].set(gas.hydro_acc)
+    vel_sync = p.vel + p.acc * dt_gk[:, None] + hyd * dt_hk[:, None]
+
+    ke = 0.5 * jnp.sum(m * jnp.sum(vel_sync**2, axis=-1))
+    pe = 0.5 * jnp.sum(m * p.pot)
+
+    gas_mask = p.alive[:ng] & (p.ptype[:ng] == 0)
+    rho_safe = jnp.where(gas.density > 0, gas.density, 1.0)
+    dt_entr = (state.ti_current - p.ti_begstep[:ng]) * cfg.timebase_interval
+    a_now = gas.entropy + gas.dt_entropy * dt_entr
+    if opts.isotherm_eqs:
+        u = a_now / GAMMA_MINUS1  # c_s^2/(gamma-1) bookkeeping value
+    else:
+        u = a_now * rho_safe**GAMMA_MINUS1 / GAMMA_MINUS1
+    ie = jnp.sum(jnp.where(gas_mask, m[:ng] * u, 0.0))
+
+    mom = jnp.sum(m[:, None] * vel_sync, axis=0)
+    ang = jnp.sum(m[:, None] * jnp.cross(p.pos, vel_sync), axis=0)
+    return EnergyStats(
+        kinetic=ke, internal=ie, potential=pe, total=ke + ie + pe,
+        momentum=mom, ang_mom=ang, mass=jnp.sum(m),
+    )
+
+
+def format_energy_line(time: float, st: EnergyStats) -> str:
+    """One energy.txt-style line: time, Etot, Eint, Epot, Ekin."""
+    return (
+        f"{time:.8g} {float(st.total):.8g} {float(st.internal):.8g} "
+        f"{float(st.potential):.8g} {float(st.kinetic):.8g}"
+    )
