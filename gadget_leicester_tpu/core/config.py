@@ -65,7 +65,14 @@ class SimOptions:
     dtype: str = "f32"                   # "f32" | "f64"
     # TPU-rebuild static capacities (the analog of PartAllocFactor headroom):
     max_ngb: int = 96                    # fixed neighbour-list capacity K
-    tree_depth: int = 20                 # max octree depth (Morton bits/3)
+    tree_depth: int = 8                  # octree depth (max 10 = Morton bits/3)
+    # Backend selection (static — specialises the jitted step like -DOPT):
+    gravity_mode: str = "auto"           # "auto"|"direct"|"treepm"|"tree"
+    sph_backend: str = "auto"            # "auto"|"dense"|"cells"
+    sph_grid: int = 0                    # cells per axis for SPH (0 = auto)
+    sph_capacity: int = 0                # per-cell capacity for SPH (0 = auto)
+    sr_capacity: int = 0                 # per-cell capacity, short-range grav
+    direct_threshold: int = 8192         # N below which direct gravity wins
 
     def replace(self, **kw) -> "SimOptions":
         return dataclasses.replace(self, **kw)

@@ -148,7 +148,7 @@ _GL_W = np.array(
 def _interval_quad(cfg: SimConfig, ti0, ti1, power: float):
     """int_{a0}^{a1} da / (H(a) a^power) over the tick interval, via GL8
     in loga:  int f(a) dloga with f = 1/(H(a) a^{power-1})."""
-    ti0 = jnp.asarray(ti0)
+    ti0, ti1 = jnp.broadcast_arrays(jnp.asarray(ti0), jnp.asarray(ti1))
     la0 = np.log(cfg.time_begin) + ti0 * cfg.timebase_interval
     dla = (ti1 - ti0) * cfg.timebase_interval
     shape = jnp.shape(la0)

@@ -88,14 +88,26 @@ def compute_forces(
     fac = comoving_factors(cfg, state.ti_current)
 
     # ----- gravity ------------------------------------------------------
+    mode = opts.gravity_mode
+    if mode == "auto":
+        if opts.periodic and opts.pmgrid > 0:
+            mode = "treepm"
+        else:
+            mode = "direct" if p.n_max <= opts.direct_threshold else "tree"
+
     if not opts.nogravity:
         eps = softening_table(cfg, fac.atime)
         soft = SOFTFAC * eps[p.ptype]  # force softening h = 2.8 eps
-        acc, pot = direct_gravity(
-            p.pos, p.mass, soft, p.alive,
-            box=cfg.box_size,
-            periodic=opts.periodic,
-        )
+        if mode == "treepm":
+            acc, pot = _treepm_gravity(state, cfg, opts, soft)
+        elif mode == "tree":
+            acc, pot = _tree_gravity(state, cfg, opts, soft)
+        else:
+            acc, pot = direct_gravity(
+                p.pos, p.mass, soft, p.alive,
+                box=cfg.box_size,
+                periodic=opts.periodic,
+            )
         acc = acc * cfg.grav_internal
         pot = pot * cfg.grav_internal
         if cfg.comoving_integration_on and not opts.periodic:
@@ -119,6 +131,49 @@ def compute_forces(
     return state
 
 
+def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
+    """TreePM: FFT PM long-range + cell-list erfc short-range
+    [G2: pm_periodic.c + forcetree.c shortrange]. Potential is the PM
+    potential + truncated short-range potential (diagnostics)."""
+    from gadget_leicester_tpu.ops.gravity_short import shortrange_gravity_cells
+    from gadget_leicester_tpu.ops.neighbors import build_cell_list
+    from gadget_leicester_tpu.ops.pm import (ASMTH, RCUT, pm_forces_periodic,
+                                             pm_potential_periodic)
+
+    p = state.p
+    box = cfg.box_size
+    g = opts.pmgrid
+    asmth_len = ASMTH * box / g
+    rcut = RCUT * asmth_len
+    n_cells = max(3, int(box / rcut))
+    if opts.sr_capacity > 0:
+        cap = opts.sr_capacity
+    else:
+        mean = p.n_max / n_cells**3
+        cap = max(64, int(8 * mean))
+    cl = build_cell_list(p.pos, p.alive, 0.0, box, n_cells=n_cells,
+                         capacity=cap, periodic=True)
+    acc_sr = shortrange_gravity_cells(cl, p.pos, p.mass, soft, p.alive,
+                                      asmth_len, rcut, box=box, periodic=True)
+    acc_pm = pm_forces_periodic(p.pos, p.mass, p.alive, box, g)
+    pot = pm_potential_periodic(p.pos, p.mass, p.alive, box, g)
+    return acc_sr + acc_pm, pot
+
+
+def _tree_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
+    """Barnes-Hut tree gravity (vacuum or periodic-without-PM)."""
+    from gadget_leicester_tpu.ops.tree import tree_gravity
+    p = state.p
+    return tree_gravity(
+        p.pos, p.mass, soft, p.alive,
+        theta=cfg.err_tol_theta,
+        opening=cfg.type_of_opening_criterion,
+        err_tol_force_acc=cfg.err_tol_force_acc,
+        old_acc=p.old_acc / jnp.maximum(cfg.grav_internal, 1e-37),
+        depth=opts.tree_depth,
+    )
+
+
 def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
                 fac: ComovingFactors) -> SimState:
     """density() -> hydro_force() [G2: accel.c ordering]."""
@@ -127,14 +182,55 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
     eps_gas = softening_table(cfg, fac.atime)[0]
     min_hsml = cfg.min_gas_hsml_fractional * SOFTFAC * eps_gas
 
-    dres = density_adaptive(
-        pos_g, gas.vel_pred, mass_g, gas.hsml, gas_mask,
-        des_num_ngb=cfg.des_num_ngb,
-        max_dev=cfg.max_num_ngb_deviation,
-        min_hsml=min_hsml,
-        box=cfg.box_size,
-        periodic=opts.periodic,
-    )
+    backend = opts.sph_backend
+    if backend == "auto":
+        backend = "cells" if gas.n_gas_max > 4096 else "dense"
+
+    if backend == "cells":
+        from gadget_leicester_tpu.ops.neighbors import build_cell_list
+        from gadget_leicester_tpu.ops.sph_cells import (
+            density_adaptive_cells, hydro_force_cells)
+        ng = gas.n_gas_max
+        if opts.periodic:
+            origin = jnp.zeros(3, pos_g.dtype)
+            extent = jnp.full((3,), cfg.box_size, pos_g.dtype)
+        else:
+            lo = jnp.min(jnp.where(gas_mask[:, None], pos_g, jnp.inf), axis=0)
+            hi = jnp.max(jnp.where(gas_mask[:, None], pos_g, -jnp.inf), axis=0)
+            pad = 0.01 * (hi - lo) + 1e-6
+            origin, extent = lo - pad, (hi - lo) + 2 * pad
+        if opts.sph_grid > 0:
+            n_cells = opts.sph_grid
+        else:
+            # static estimate: typical h ~ spacing*(3 Ngb/4pi)^(1/3);
+            # cell >= ~1.6x that. h is additionally CAPPED at the cell size
+            # (max_hsml) — the void-h compromise, SURVEY.md §7 hard part 2.
+            spacing_cells = (ng ** (1.0 / 3.0)) / (
+                1.6 * (3.0 * cfg.des_num_ngb / (4.0 * 3.14159)) ** (1.0 / 3.0))
+            n_cells = max(3, int(spacing_cells))
+        cap = opts.sph_capacity if opts.sph_capacity > 0 else max(
+            32, int(6 * ng / n_cells**3))
+        cl = build_cell_list(pos_g, gas_mask, origin, extent,
+                             n_cells=n_cells, capacity=cap,
+                             periodic=opts.periodic)
+        max_hsml = jnp.min(extent) / n_cells
+        dres = density_adaptive_cells(
+            cl, pos_g, gas.vel_pred, mass_g,
+            jnp.minimum(gas.hsml, max_hsml), gas_mask,
+            des_num_ngb=cfg.des_num_ngb,
+            max_dev=cfg.max_num_ngb_deviation,
+            min_hsml=min_hsml, max_hsml=max_hsml,
+            box=cfg.box_size, periodic=opts.periodic,
+        )
+    else:
+        dres = density_adaptive(
+            pos_g, gas.vel_pred, mass_g, gas.hsml, gas_mask,
+            des_num_ngb=cfg.des_num_ngb,
+            max_dev=cfg.max_num_ngb_deviation,
+            min_hsml=min_hsml,
+            box=cfg.box_size,
+            periodic=opts.periodic,
+        )
     # entropy-form pressure P = A_pred rho^gamma [G2: density.c tail]
     if opts.isotherm_eqs:
         # isothermal EOS: P = c_s^2 rho, entropy slot stores c_s^2
@@ -143,9 +239,7 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         pressure = gas.entropy_pred * dres.rho**GAMMA
     pressure = jnp.where(gas_mask, pressure, 0.0)
 
-    hres = hydro_force(
-        pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho, pressure,
-        dres.dhsml_factor, dres.div_vel, dres.curl_vel, gas_mask,
+    hydro_kw = dict(
         visc_const=cfg.art_bulk_visc_const,
         box=cfg.box_size,
         periodic=opts.periodic,
@@ -153,6 +247,16 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         hubble_a2_norm=fac.hubble_a2_norm,
         fac_mu=fac.fac_mu,
     )
+    if backend == "cells":
+        hres = hydro_force_cells(
+            cl, pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho, pressure,
+            dres.dhsml_factor, dres.div_vel, dres.curl_vel, gas_mask,
+            **hydro_kw)
+    else:
+        hres = hydro_force(
+            pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho, pressure,
+            dres.dhsml_factor, dres.div_vel, dres.curl_vel, gas_mask,
+            **hydro_kw)
     dt_entropy = hres.dt_entropy
     if opts.isotherm_eqs:
         dt_entropy = jnp.zeros_like(dt_entropy)  # entropy fixed (isothermal)

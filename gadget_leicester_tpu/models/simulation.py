@@ -96,6 +96,10 @@ def init_state(
     n = pos.shape[0]
     if pid is None:
         pid = np.arange(1, n + 1)
+    if cfg.comoving_integration_on:
+        # IC files store v_file = v_pec/sqrt(a); internal vel = a*v_pec
+        # => vel = v_file * a0^{3/2} [G2: read_ic.c velocity scaling]
+        vel = np.asarray(vel) * cfg.time_begin**1.5
     state = from_arrays(pos, vel, mass, ptype, pid, opts, u=u, pad=pad)
 
     ng = state.gas.n_gas_max

@@ -1,0 +1,161 @@
+"""Particle-mesh long-range gravity — rebuild of [G2: pm_periodic.c ::
+pmforce_periodic()] as a single fused XLA program:
+
+  CIC scatter-add -> jnp.fft.rfftn -> Green's function
+  (-4 pi G / k^2) * exp(-k^2 Asmth^2) * CIC-deconvolution(sinc^-4)
+  -> inverse FFT -> 4-point finite-difference gradient -> CIC gather.
+
+The reference's FFTW-MPI slab machinery (ghost-layer exchanges, slab
+decomposition) disappears: single-chip PM is one fused program; the
+multi-chip version lives in ``parallel.pm_sharded`` (pencil FFT with
+all_to_all over ICI).
+
+Asmth/Rcut convention [G2: allvars.h ASMTH=1.25, RCUT=4.5]: the
+long/short split scale is asmth = 1.25 grid cells; the short-range force
+is cut at rcut = 4.5 * asmth.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+ASMTH = 1.25  # in units of mesh cells [G2: allvars.h]
+RCUT = 4.5    # in units of asmth
+
+
+def cic_deposit(pos, weight, box: float, n: int):
+    """Cloud-in-cell mass assignment onto an [n,n,n] periodic mesh."""
+    f = pos.dtype
+    u = pos * (n / box)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = u - i0
+    grid = jnp.zeros((n, n, n), f)
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - frac[:, 0], frac[:, 0])
+        ix = jnp.mod(i0[:, 0] + dx, n)
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - frac[:, 1], frac[:, 1])
+            iy = jnp.mod(i0[:, 1] + dy, n)
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - frac[:, 2], frac[:, 2])
+                iz = jnp.mod(i0[:, 2] + dz, n)
+                grid = grid.at[ix, iy, iz].add(weight * wx * wy * wz)
+    return grid
+
+
+def cic_gather(grid, pos, box: float, n: int):
+    """CIC interpolation of a scalar mesh field back to particle positions."""
+    u = pos * (n / box)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = u - i0
+    val = jnp.zeros(pos.shape[0], grid.dtype)
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - frac[:, 0], frac[:, 0])
+        ix = jnp.mod(i0[:, 0] + dx, n)
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - frac[:, 1], frac[:, 1])
+            iy = jnp.mod(i0[:, 1] + dy, n)
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - frac[:, 2], frac[:, 2])
+                iz = jnp.mod(i0[:, 2] + dz, n)
+                val = val + grid[ix, iy, iz] * wx * wy * wz
+    return val
+
+
+def greens_function(n: int, box: float, asmth_grid: float, dtype=jnp.float32):
+    """k-space multiplier: -4 pi / k^2 * exp(-k^2 asmth^2) * CIC-deconv^2
+    (G applied by the caller). Shaped for rfftn output [n, n, n//2+1].
+    [G2: pm_periodic.c k-loop body]"""
+    kf = 2.0 * jnp.pi / box
+    kx = jnp.fft.fftfreq(n, 1.0 / n).astype(dtype) * kf
+    kz = (jnp.arange(n // 2 + 1, dtype=dtype)) * kf
+    KX, KY, KZ = jnp.meshgrid(kx, kx, kz, indexing="ij")
+    k2 = KX**2 + KY**2 + KZ**2
+    asmth_len = asmth_grid * box / n
+
+    def sinc(x):
+        x = jnp.abs(x)
+        return jnp.where(x > 1e-8, jnp.sin(x) / jnp.where(x > 1e-8, x, 1.0), 1.0)
+
+    h = box / n
+    w = (sinc(KX * h / 2) * sinc(KY * h / 2) * sinc(KZ * h / 2)) ** 2  # CIC W(k)
+    deconv = 1.0 / jnp.maximum(w, 1e-8) ** 2  # deposit + gather
+    k2_safe = jnp.where(k2 > 0, k2, 1.0)
+    g = -4.0 * jnp.pi / k2_safe * jnp.exp(-k2 * asmth_len**2) * deconv
+    return jnp.where(k2 > 0, g, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n", "gradient"))
+def pm_forces_periodic(
+    pos,
+    mass,
+    alive,
+    box: float,
+    n: int,
+    asmth_grid: float = ASMTH,
+    gradient: str = "fd4",
+):
+    """Long-range accelerations (no G factor), periodic box.
+
+    gradient="fd4": 4-point finite difference, matches the reference
+    [G2: pm_periodic.c]; "spectral": ik-space gradient (3 extra iFFTs,
+    more accurate at the Nyquist end).
+    Returns acc[N,3].
+    """
+    f = pos.dtype
+    m = jnp.where(alive, mass, 0.0).astype(f)
+    posw = jnp.mod(pos, box)
+    rho = cic_deposit(posw, m, box, n)         # mass mesh (not density; the
+    # 4 pi G/k^2 Green's fn absorbs the cell volume via the DFT convention:
+    # phi_k = G(k) rho_k / V_cell ... we fold constants below.
+    rho_k = jnp.fft.rfftn(rho)
+    g_k = greens_function(n, box, asmth_grid, dtype=f)
+    # DFT normalisation: continuous FT ~ V_cell * DFT; inverse adds 1/V.
+    # phi = F^-1[ -4 pi /k^2 rhohat ] with rhohat = mass_k / V_cell:
+    cell_vol = (box / n) ** 3
+    phi_k = g_k * rho_k / cell_vol
+    phi = jnp.fft.irfftn(phi_k, (n, n, n))
+
+    h = box / n
+    if gradient == "spectral":
+        kf = 2.0 * jnp.pi / box
+        kx = jnp.fft.fftfreq(n, 1.0 / n).astype(f) * kf
+        kz = jnp.arange(n // 2 + 1, dtype=f) * kf
+        KX, KY, KZ = jnp.meshgrid(kx, kx, kz, indexing="ij")
+        comp = []
+        for K in (KX, KY, KZ):
+            fk = -1j * K * phi_k
+            comp.append(jnp.fft.irfftn(fk, (n, n, n)))
+        force = jnp.stack(comp, axis=-1)
+    else:
+        # 4th-order centered difference: f = -d(phi)/dx
+        # [G2: pm_periodic.c uses (4/3(p+1 - p-1) - 1/6(p+2 - p-2))/2h]
+        def grad_axis(a, ax):
+            p1 = jnp.roll(phi, -1, ax) - jnp.roll(phi, 1, ax)
+            p2 = jnp.roll(phi, -2, ax) - jnp.roll(phi, 2, ax)
+            return -(4.0 / 3.0 * p1 / (2 * h) - 1.0 / 6.0 * p2 / (2 * h))
+        force = jnp.stack([grad_axis(phi, ax) for ax in range(3)], axis=-1)
+
+    # CIC gather per component
+    acc = jnp.stack(
+        [cic_gather(force[..., c], posw, box, n) for c in range(3)], axis=-1
+    )
+    return jnp.where(alive[:, None], acc, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def pm_potential_periodic(pos, mass, alive, box: float, n: int,
+                          asmth_grid: float = ASMTH):
+    """Long-range potential at particle positions (no G factor) — for
+    energy diagnostics and the TreePM potential split."""
+    f = pos.dtype
+    m = jnp.where(alive, mass, 0.0).astype(f)
+    posw = jnp.mod(pos, box)
+    rho = cic_deposit(posw, m, box, n)
+    rho_k = jnp.fft.rfftn(rho)
+    g_k = greens_function(n, box, asmth_grid, dtype=f)
+    phi = jnp.fft.irfftn(g_k * rho_k / (box / n) ** 3, (n, n, n))
+    return cic_gather(phi, posw, box, n)

@@ -67,7 +67,7 @@ def density_sums_cells(
 def density_adaptive_cells(
     cl: CellList, pos, vel, mass, hsml0, gas_mask,
     des_num_ngb: float, max_dev: float,
-    min_hsml: float = 0.0, max_hsml: float = 0.0,
+    min_hsml: float = 0.0, max_hsml=None,
     box: float = 0.0, periodic: bool = False,
     block: int = 256, max_iters: int = 40,
 ) -> DensityResult:

@@ -122,7 +122,7 @@ def density_adaptive_generic(
     des_num_ngb: float,
     max_dev: float,
     min_hsml: float = 0.0,
-    max_hsml: float = 0.0,
+    max_hsml=None,
     max_iters: int = 40,
 ) -> DensityResult:
     """Adaptive-h density solve [G2: density.c :: density()], generic over
@@ -133,8 +133,9 @@ def density_adaptive_generic(
     N_eff = (4 pi/3) h^3 rho / m toward DesNumNgb, with Left/Right
     bisection brackets as fallback, masked ``lax.while_loop`` until every
     live gas particle converges (|N_eff - des| < max_dev) or max_iters.
-    `max_hsml` > 0 caps h (cell-list backends: h may not exceed the cell
-    size; the caller detects the cap and rebuilds with bigger cells).
+    `max_hsml` (None or a possibly-traced scalar) caps h — cell-list
+    backends require h <= cell size; callers watch the cap and rebuild
+    with bigger cells when hit.
     """
     f = hsml0.dtype
 
@@ -174,7 +175,7 @@ def density_adaptive_generic(
         both = (left_n > 0) & (right_n > 0)
         h_next = jnp.where(both, h_bisect, h_newton)
         h_next = jnp.maximum(h_next, min_hsml)
-        if max_hsml > 0:
+        if max_hsml is not None:
             h_next = jnp.minimum(h_next, max_hsml)
         h_out = jnp.where(done | newly_done, h, h_next)
         return (h_out, left_n, right_n, done | newly_done, it + 1)

@@ -1,17 +1,23 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
 multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4
-item 6 — the rebuild analog of `mpirun -np K` on one box)."""
+item 6 — the rebuild analog of `mpirun -np K` on one box).
+
+NOTE: this environment's sitecustomize force-registers the 'axon' TPU
+plugin and sets jax_platforms='axon,cpu' — a plain JAX_PLATFORMS env var
+is NOT enough; the config must be updated before first backend use.
+"""
 
 import os
 
-# Force CPU for tests even if the session presets a TPU platform (axon):
-# the suite needs the 8-device virtual mesh, and CPU avoids tunnel latency.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
