@@ -30,8 +30,8 @@ def main():
 
     from gadget_leicester_tpu.core.config import SimOptions, parse_parameter_text
     from gadget_leicester_tpu.models.ics import lcdm_gas_ics
-    from gadget_leicester_tpu.models.simulation import Simulation
-    from gadget_leicester_tpu.core import timeline
+    from gadget_leicester_tpu.models.simulation import (Simulation,
+                                                        run_steps_counted)
 
     box = 50000.0
     param = f"""
@@ -72,24 +72,37 @@ MinGasHsmlFractional 0.1
     jax.block_until_ready(sim.state.p.pos)
     init_s = time.time() - t0
 
-    # warmup (pays jit compile for the step)
+    # Two compiled programs total: the step itself and a tiny active-set
+    # counter. (Anything uncompiled costs a remote-compile round trip per
+    # distinct op on the axon tunnel; a fused multi-step scan would be one
+    # program but its compile time scales badly — two small programs win.)
+    from gadget_leicester_tpu.core import timeline
+    from gadget_leicester_tpu.models.simulation import sync_point_step
+
+    @jax.jit
+    def count_active(st):
+        ti_next = timeline.min_active_ti_end(st.p.ti_endstep, st.p.alive)
+        return jnp.sum(timeline.active_mask(st.p.ti_endstep, ti_next,
+                                            st.p.alive))
+
     t0 = time.time()
-    sim.step()
-    jax.block_until_ready(sim.state.p.pos)
+    st = sync_point_step(sim.state, sim.cfg, sim.opts)
+    upd0 = count_active(st)
+    upd0 = upd0 + upd0  # compile the accumulate-add too
+    jax.block_until_ready((st.p.pos, upd0))
     compile_s = time.time() - t0
 
-    # measure: each sync point updates the active set; count active updates
-    updates = 0
+    # No device->host transfer inside the loop (a scalar readback over the
+    # axon tunnel costs seconds); accumulate the count on device, read once.
+    total = None
     t0 = time.time()
     for _ in range(n_steps):
-        ti_prev = sim.state.p.ti_endstep
-        alive = sim.state.p.alive
-        active = timeline.active_mask(
-            ti_prev, timeline.min_active_ti_end(ti_prev, alive), alive)
-        updates += int(jnp.sum(active))
-        sim.step()
-    jax.block_until_ready(sim.state.p.pos)
+        c = count_active(st)
+        total = c if total is None else total + c
+        st = sync_point_step(st, sim.cfg, sim.opts)
+    jax.block_until_ready(st.p.pos)
     elapsed = time.time() - t0
+    updates = int(total)
 
     ups = updates / elapsed
     baseline = 1e7  # north-star target [BASELINE.md]

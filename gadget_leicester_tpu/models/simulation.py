@@ -11,6 +11,7 @@ never touches particle data between steps.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -48,13 +49,35 @@ def sync_point_step(state: SimState, cfg: SimConfig, opts: SimOptions) -> SimSta
 def run_steps(state: SimState, cfg: SimConfig, opts: SimOptions,
               n_steps: int) -> SimState:
     """n sync-point iterations fused into one device program (lax.scan) —
-    zero host round-trips; this is the bench path."""
+    zero host round-trips."""
 
     def body(st, _):
         return sync_point_step(st, cfg, opts), None
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts", "n_steps"))
+def run_steps_counted(state: SimState, cfg: SimConfig, opts: SimOptions,
+                      n_steps: int):
+    """run_steps + an in-graph count of particle updates (the active set
+    of each sync point), so benchmarking needs zero host round-trips —
+    the rebuild of the reference's part/sec instrument
+    [G2: gravtree.c -> timings.txt]."""
+
+    def body(carry, _):
+        st, nupd = carry
+        ti_next = timeline.min_active_ti_end(st.p.ti_endstep, st.p.alive)
+        n_active = jnp.sum(
+            timeline.active_mask(st.p.ti_endstep, ti_next, st.p.alive))
+        st = sync_point_step(st, cfg, opts)
+        return (st, nupd + n_active), None
+
+    (state, n_updates), _ = jax.lax.scan(
+        body, (state, jnp.zeros((), jnp.int32)),
+        None, length=n_steps)
+    return state, n_updates
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +194,35 @@ class Simulation:
         self.opts = opts if opts is not None else options_from_config(cfg)
         self.state: Optional[SimState] = None
         self.step_count = 0
+        self.logs = None            # RunLogs, created on demand
+        self.snapshot_count = 0
+        self.next_snapshot_time = cfg.time_of_first_snapshot
+        self.next_stats_time = cfg.time_begin
+        self.last_restart_wall = None
+
+    @classmethod
+    def from_param_file(cls, path: str, opts: Optional[SimOptions] = None,
+                        restart_flag: int = 0) -> "Simulation":
+        """`Gadget2 param.txt [restartflag]` equivalent [G2: main.c]:
+        restart_flag 0 = cold start from InitCondFile, 1 = resume from the
+        restart dump, 2 = start from a snapshot named by InitCondFile."""
+        from gadget_leicester_tpu.core.config import read_parameter_file
+        cfg = read_parameter_file(path)
+        sim = cls(cfg, opts)
+        if restart_flag == 1:
+            from gadget_leicester_tpu.io.restart import load_restart
+            rp = os.path.join(cfg.output_dir, (cfg.restart_file or "restart"))
+            sim.state, meta = load_restart(rp)
+            sim.step_count = meta.get("step_count", 0)
+            sim.snapshot_count = meta.get("snapshot_count", 0)
+        else:
+            from gadget_leicester_tpu.io.snapshot import read_snapshot
+            from gadget_leicester_tpu.io.state_io import ic_arrays_from_snapshot
+            snap = read_snapshot(cfg.init_cond_file)
+            pos, vel, mass, ptype, u = ic_arrays_from_snapshot(snap, cfg)
+            sim.set_ics(pos, vel, mass, ptype, pid=snap.ids.astype(np.int64),
+                        u=u)
+        return sim
 
     def set_ics(self, pos, vel, mass, ptype, pid=None, u=None):
         self.state = init_state(self.cfg, self.opts, pos, vel, mass, ptype,
@@ -205,4 +257,69 @@ class Simulation:
             self.step()
             if callback is not None:
                 callback(self)
+        return self.state
+
+    # ------------------------------------------------------------------
+    # Full lifecycle with outputs — [G2: run.c :: run()]
+    # ------------------------------------------------------------------
+    def run(self, max_steps: int = 1000000, wall_limit_s: Optional[float] = None):
+        """Main loop with snapshot/energy/restart cadence and log files."""
+        import time as _time
+
+        from gadget_leicester_tpu.io.restart import save_restart
+        from gadget_leicester_tpu.io.snapshot import write_snapshot
+        from gadget_leicester_tpu.io.state_io import snapshot_from_state
+        from gadget_leicester_tpu.utils.diagnostics import energy_statistics
+        from gadget_leicester_tpu.utils.logfiles import RunLogs
+
+        cfg, opts = self.cfg, self.opts
+        if self.logs is None:
+            self.logs = RunLogs(cfg)
+        wall0 = _time.time()
+        limit = wall_limit_s if wall_limit_s is not None else cfg.time_limit_cpu
+        self.last_restart_wall = _time.time()
+
+        for _ in range(max_steps):
+            if int(self.state.ti_current) >= TIMEBASE:
+                break
+            if _time.time() - wall0 > limit:
+                break
+            t_before = self.time
+            t0 = _time.time()
+            self.step()
+            dt_wall = _time.time() - t0
+            t_now = self.time
+            self.logs.log_info(self.step_count, t_now, t_now - t_before)
+            self.logs.log_cpu(self.step_count, t_now,
+                              {"total": dt_wall})
+            n_active = int(jnp.sum(timeline.active_mask(
+                self.state.p.ti_begstep, self.state.ti_current,
+                self.state.p.alive)))
+            self.logs.log_timings(self.step_count, n_active, dt_wall)
+
+            if t_now >= self.next_stats_time:
+                st = energy_statistics(self.state, cfg, opts)
+                self.logs.log_energy(t_now, st)
+                self.next_stats_time += cfg.time_bet_statistics
+            if t_now >= self.next_snapshot_time and cfg.time_bet_snapshot > 0:
+                snap = snapshot_from_state(self.state, cfg, opts)
+                base = os.path.join(
+                    cfg.output_dir,
+                    f"{cfg.snapshot_file_base}_{self.snapshot_count:03d}")
+                write_snapshot(base, snap, fmt=cfg.snap_format)
+                self.snapshot_count += 1
+                if cfg.comoving_integration_on:
+                    self.next_snapshot_time = max(
+                        self.next_snapshot_time * cfg.time_bet_snapshot,
+                        t_now * 1.0000001)
+                else:
+                    self.next_snapshot_time += cfg.time_bet_snapshot
+            if (_time.time() - self.last_restart_wall
+                    > cfg.cpu_time_bet_restart_file):
+                save_restart(
+                    os.path.join(cfg.output_dir,
+                                 cfg.restart_file or "restart"),
+                    self.state, step_count=self.step_count,
+                    extra_meta={"snapshot_count": self.snapshot_count})
+                self.last_restart_wall = _time.time()
         return self.state

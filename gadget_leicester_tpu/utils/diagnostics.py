@@ -31,6 +31,10 @@ class EnergyStats(NamedTuple):
     momentum: jnp.ndarray   # [3]
     ang_mom: jnp.ndarray    # [3]
     mass: jnp.ndarray
+    kinetic_comp: jnp.ndarray    # [6] per particle type
+    internal_comp: jnp.ndarray   # [6]
+    potential_comp: jnp.ndarray  # [6]
+    mass_comp: jnp.ndarray       # [6]
 
 
 @partial(jax.jit, static_argnames=("cfg", "opts"))
@@ -61,9 +65,22 @@ def energy_statistics(state: SimState, cfg: SimConfig, opts: SimOptions) -> Ener
 
     mom = jnp.sum(m[:, None] * vel_sync, axis=0)
     ang = jnp.sum(m[:, None] * jnp.cross(p.pos, vel_sync), axis=0)
+
+    # per-type decomposition [G2: compute_global_quantities_of_system()]
+    seg = jnp.where(p.alive, p.ptype, 6)
+    ke_i = 0.5 * m * jnp.sum(vel_sync**2, axis=-1)
+    pe_i = 0.5 * m * p.pot
+    ie_i = jnp.zeros_like(m).at[:ng].set(
+        jnp.where(gas_mask, m[:ng] * u, 0.0))
+    ke_c = jax.ops.segment_sum(ke_i, seg, num_segments=7)[:6]
+    pe_c = jax.ops.segment_sum(pe_i, seg, num_segments=7)[:6]
+    ie_c = jax.ops.segment_sum(ie_i, seg, num_segments=7)[:6]
+    m_c = jax.ops.segment_sum(m, seg, num_segments=7)[:6]
     return EnergyStats(
         kinetic=ke, internal=ie, potential=pe, total=ke + ie + pe,
         momentum=mom, ang_mom=ang, mass=jnp.sum(m),
+        kinetic_comp=ke_c, internal_comp=ie_c, potential_comp=pe_c,
+        mass_comp=m_c,
     )
 
 
