@@ -61,7 +61,15 @@ SofteningHaloMaxPhys {box / n_side / 30:.3f}
 MinGasHsmlFractional 0.1
 """
     cfg = parse_parameter_text(param)
-    opts = SimOptions(periodic=True, pmgrid=n_side * 2, gravity_mode="treepm",
+    # pmgrid ~ 1.55*n_side puts the short-range cell occupancy near 100
+    # for two species with cap-128 tiles (ncells = floor(pmgrid/5.625),
+    # occ = 2 n_side^3/ncells^3); the floor matters — verify occ <= ~110
+    pmgrid = int(os.environ.get("BENCH_PMGRID", "0"))
+    if pmgrid == 0:
+        pmgrid = max(16, int(n_side * 1.55 + 1) // 2 * 2)
+        while int(pmgrid / 5.625) ** 3 * 110 < 2 * n_side**3:
+            pmgrid += 2
+    opts = SimOptions(periodic=True, pmgrid=pmgrid, gravity_mode="treepm",
                       sph_backend="cells")
     sim = Simulation(cfg, opts)
     pos, vel, mass, ptype, u = lcdm_gas_ics(
@@ -89,7 +97,9 @@ MinGasHsmlFractional 0.1
     st = sync_point_step(sim.state, sim.cfg, sim.opts)
     upd0 = count_active(st)
     upd0 = upd0 + upd0  # compile the accumulate-add too
-    jax.block_until_ready((st.p.pos, upd0))
+    # NB: jax.block_until_ready does NOT synchronise on the axon platform;
+    # a scalar readback is the only reliable fence.
+    _ = float(st.p.pos[0, 0]) + int(upd0)
     compile_s = time.time() - t0
 
     # No device->host transfer inside the loop (a scalar readback over the
@@ -100,7 +110,7 @@ MinGasHsmlFractional 0.1
         c = count_active(st)
         total = c if total is None else total + c
         st = sync_point_step(st, sim.cfg, sim.opts)
-    jax.block_until_ready(st.p.pos)
+    _ = float(st.p.pos[0, 0])  # readback fence (see above)
     elapsed = time.time() - t0
     updates = int(total)
 
@@ -119,6 +129,8 @@ MinGasHsmlFractional 0.1
             "compile_s": round(compile_s, 2),
             "init_s": round(init_s, 2),
             "device": str(jax.devices()[0]),
+            "overflow_flags": int(st.overflow_flags),
+            "pmgrid": pmgrid,
         },
     }))
 

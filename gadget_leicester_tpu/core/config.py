@@ -73,6 +73,8 @@ class SimOptions:
     sph_capacity: int = 0                # per-cell capacity for SPH (0 = auto)
     sr_capacity: int = 0                 # per-cell capacity, short-range grav
     direct_threshold: int = 8192         # N below which direct gravity wins
+    use_pallas: str = "auto"             # "auto"|"on"|"off" — Pallas kernels
+                                         # ("auto": on for TPU backends)
 
     def replace(self, **kw) -> "SimOptions":
         return dataclasses.replace(self, **kw)

@@ -112,6 +112,10 @@ class SimState:
     pm_ti_endstep: jnp.ndarray  # int64 scalar — end of current PM step
     pm_ti_begstep: jnp.ndarray  # int64 scalar
     rng_key: jnp.ndarray      # jax PRNG key (glass-making etc.)
+    overflow_flags: jnp.ndarray  # int32 bitmask: 1=short-range cells over
+                                 # capacity, 2=SPH cells over capacity —
+                                 # sticky; nonzero means forces dropped
+                                 # particles (recompute-bigger needed)
 
     @property
     def n_max(self) -> int:
@@ -170,6 +174,7 @@ def allocate(
         pm_ti_endstep=jnp.int32(0),
         pm_ti_begstep=jnp.int32(0),
         rng_key=jax.random.PRNGKey(42),
+        overflow_flags=jnp.int32(0),
     )
 
 

@@ -56,5 +56,6 @@ def _treedef_for(leaves):
     skeleton = SimState(
         p=dummy(ParticleState), gas=dummy(GasState), sinks=dummy(SinkState),
         ti_current=0, pm_ti_endstep=0, pm_ti_begstep=0, rng_key=0,
+        overflow_flags=0,
     )
     return jtu.tree_structure(skeleton)

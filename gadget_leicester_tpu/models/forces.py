@@ -99,7 +99,10 @@ def compute_forces(
         eps = softening_table(cfg, fac.atime)
         soft = SOFTFAC * eps[p.ptype]  # force softening h = 2.8 eps
         if mode == "treepm":
-            acc, pot = _treepm_gravity(state, cfg, opts, soft)
+            acc, pot, sr_ovf = _treepm_gravity(state, cfg, opts, soft)
+            state = dataclasses.replace(
+                state, overflow_flags=state.overflow_flags
+                | jnp.where(sr_ovf, jnp.int32(1), jnp.int32(0)))
         elif mode == "tree":
             acc, pot = _tree_gravity(state, cfg, opts, soft)
         else:
@@ -146,18 +149,33 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
     asmth_len = ASMTH * box / g
     rcut = RCUT * asmth_len
     n_cells = max(3, int(box / rcut))
-    if opts.sr_capacity > 0:
-        cap = opts.sr_capacity
+
+    use_pallas = opts.use_pallas == "on" or (
+        opts.use_pallas == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        from gadget_leicester_tpu.ops.pallas_cells import \
+            shortrange_gravity_pallas
+        cap = opts.sr_capacity if opts.sr_capacity > 0 else 128
+        cap = max(128, ((cap + 127) // 128) * 128)  # lane-aligned
+        acc_sr, overflow = shortrange_gravity_pallas(
+            p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
+            capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
+            periodic=True)
     else:
-        mean = p.n_max / n_cells**3
-        cap = max(64, int(8 * mean))
-    cl = build_cell_list(p.pos, p.alive, 0.0, box, n_cells=n_cells,
-                         capacity=cap, periodic=True)
-    acc_sr = shortrange_gravity_cells(cl, p.pos, p.mass, soft, p.alive,
-                                      asmth_len, rcut, box=box, periodic=True)
-    acc_pm = pm_forces_periodic(p.pos, p.mass, p.alive, box, g)
-    pot = pm_potential_periodic(p.pos, p.mass, p.alive, box, g)
-    return acc_sr + acc_pm, pot
+        if opts.sr_capacity > 0:
+            cap = opts.sr_capacity
+        else:
+            mean = p.n_max / n_cells**3
+            cap = max(64, int(8 * mean))
+        cl = build_cell_list(p.pos, p.alive, 0.0, box, n_cells=n_cells,
+                             capacity=cap, periodic=True)
+        acc_sr = shortrange_gravity_cells(cl, p.pos, p.mass, soft, p.alive,
+                                          asmth_len, rcut, box=box,
+                                          periodic=True)
+        overflow = cl.overflow
+    acc_pm, pot = pm_forces_periodic(p.pos, p.mass, p.alive, box, g,
+                                     with_potential=True)
+    return acc_sr + acc_pm, pot, overflow
 
 
 def _tree_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
@@ -185,8 +203,44 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
     backend = opts.sph_backend
     if backend == "auto":
         backend = "cells" if gas.n_gas_max > 4096 else "dense"
+    use_pallas = opts.use_pallas == "on" or (
+        opts.use_pallas == "auto" and jax.default_backend() == "tpu")
 
-    if backend == "cells":
+    if backend == "cells" and use_pallas:
+        from gadget_leicester_tpu.ops.pallas_cells import (
+            density_adaptive_pallas, hydro_force_pallas)
+        ng = gas.n_gas_max
+        if opts.periodic:
+            origin, extent = 0.0, cfg.box_size
+        else:
+            lo = jnp.min(jnp.where(gas_mask[:, None], pos_g, jnp.inf), axis=0)
+            hi = jnp.max(jnp.where(gas_mask[:, None], pos_g, -jnp.inf), axis=0)
+            pad_w = 0.01 * jnp.max(hi - lo) + 1e-6
+            origin = lo - pad_w
+            extent = jnp.max(hi - lo) + 2 * pad_w
+        if opts.sph_grid > 0:
+            n_cells = opts.sph_grid
+        else:
+            # target mean occupancy ~100 for a 128-lane tile (fill ~0.78);
+            # the resulting cell is ~4.6 interparticle spacings, comfortably
+            # above the typical h ~ 2 spacings that DesNumNgb~33-50 implies
+            n_cells = max(3, int(round((ng / 100.0) ** (1.0 / 3.0))))
+        cap = opts.sph_capacity if opts.sph_capacity > 0 else 128
+        cap = max(128, ((cap + 127) // 128) * 128)
+        max_hsml = (cfg.box_size / n_cells if opts.periodic
+                    else extent / n_cells)
+        dres, cl_sph = density_adaptive_pallas(
+            pos_g, gas.vel_pred, mass_g,
+            jnp.minimum(gas.hsml, max_hsml), gas_mask,
+            des_num_ngb=cfg.des_num_ngb,
+            max_dev=cfg.max_num_ngb_deviation,
+            box=float(cfg.box_size) if opts.periodic else 1.0,
+            n_cells=n_cells, capacity=cap,
+            min_hsml=min_hsml, max_hsml=max_hsml,
+            periodic=opts.periodic,
+            origin=origin, extent=extent,
+        )
+    elif backend == "cells":
         from gadget_leicester_tpu.ops.neighbors import build_cell_list
         from gadget_leicester_tpu.ops.sph_cells import (
             density_adaptive_cells, hydro_force_cells)
@@ -247,7 +301,18 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         hubble_a2_norm=fac.hubble_a2_norm,
         fac_mu=fac.fac_mu,
     )
-    if backend == "cells":
+    if backend == "cells" and use_pallas:
+        hres = hydro_force_pallas(
+            cl_sph, pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho,
+            pressure, dres.dhsml_factor, dres.div_vel, dres.curl_vel,
+            gas_mask, visc_const=cfg.art_bulk_visc_const,
+            box=float(cfg.box_size) if opts.periodic else 1.0,
+            n_cells=n_cells,
+            hubble_a2_flow=fac.hubble_a2_flow,
+            hubble_a2_norm=fac.hubble_a2_norm,
+            fac_mu=fac.fac_mu,
+        )
+    elif backend == "cells":
         hres = hydro_force_cells(
             cl, pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho, pressure,
             dres.dhsml_factor, dres.div_vel, dres.curl_vel, gas_mask,
@@ -260,6 +325,12 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
     dt_entropy = hres.dt_entropy
     if opts.isotherm_eqs:
         dt_entropy = jnp.zeros_like(dt_entropy)  # entropy fixed (isothermal)
+
+    if backend == "cells":
+        ovf = cl_sph.overflow if use_pallas else cl.overflow
+        state = dataclasses.replace(
+            state, overflow_flags=state.overflow_flags
+            | jnp.where(ovf, jnp.int32(2), jnp.int32(0)))
 
     gas = dataclasses.replace(
         gas,

@@ -1,0 +1,563 @@
+"""Pallas TPU cell-pair kernels — the speed-of-light path for short-range
+forces (the rebuild of the reference's hottest loop [G2: forcetree.c ::
+force_treeevaluate_shortrange()] as a tiled VPU kernel).
+
+Layout: particles are binned into cells (ops.neighbors.build_cell_list),
+then gathered into a dense SoA tile per cell:
+
+    cells_soa [C, 8, cap] f32, rows = x, y, z, mass, soft, valid, 0, 0
+
+with cap a lane-width multiple (128). The kernel runs on a (C, 27) grid:
+program (c, j) evaluates target cell c against its j-th stencil neighbour
+(neighbour ids scalar-prefetched), accumulating into the output tile for
+cell c which stays VMEM-resident across the 27 j-steps (revisited-block
+accumulation). All pairwise math is [cap, cap] = [128, 128] — exactly one
+VPU tile per op, zero padding waste beyond cell occupancy.
+
+This replaces the jnp stencil path's [block, 27*cap] gathers (which
+re-read every neighbour tile from HBM per target block) with VMEM reuse:
+each source tile is read once per target cell instead of once per target
+block row — the HBM-bandwidth fix SURVEY.md §7 calls for.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gadget_leicester_tpu.ops.neighbors import CellList, build_cell_list
+
+
+def pack_cells_soa(cl: CellList, pos, mass, soft, alive):
+    """[C, 8, cap] SoA tiles from a cell list (plain XLA gather)."""
+    c, cap = cl.cells.shape
+    idx = jnp.maximum(cl.cells, 0)
+    valid = (cl.cells >= 0) & alive[idx]
+    # Park invalid slots at a FINITE offset. (1e30 overflows r^2 to inf in
+    # f32 and 0*inf = NaN leaks through products that are masked only
+    # afterwards; finite parking keeps every masked product an exact 0.)
+    far = -7.0 / cl.inv_cell[0]
+    x = jnp.where(valid, pos[idx, 0], far)
+    y = jnp.where(valid, pos[idx, 1], far)
+    z = jnp.where(valid, pos[idx, 2], far)
+    m = jnp.where(valid, mass[idx], 0.0)
+    s = jnp.where(valid, soft[idx], 0.0)
+    v = valid.astype(pos.dtype)
+    zero = jnp.zeros_like(m)
+    return jnp.stack([x, y, z, m, s, v, zero, zero], axis=1)  # [C,8,cap]
+
+
+def neighbor_table(n_cells: int, periodic: bool):
+    """[C, 27] int32 stencil cell ids (periodic wrap or -1 pad -> self)."""
+    import numpy as np
+    g = np.arange(n_cells)
+    cx, cy, cz = np.meshgrid(g, g, g, indexing="ij")
+    coords = np.stack([cx.ravel(), cy.ravel(), cz.ravel()], -1)  # [C,3]
+    offs = np.stack(np.meshgrid(*([np.arange(-1, 2)] * 3),
+                                indexing="ij"), -1).reshape(27, 3)
+    nb = coords[:, None, :] + offs[None, :, :]
+    if periodic:
+        nb = np.mod(nb, n_cells)
+        valid = np.ones(nb.shape[:2], bool)
+    else:
+        valid = np.all((nb >= 0) & (nb < n_cells), axis=-1)
+        nb = np.clip(nb, 0, n_cells - 1)
+    cid = (nb[..., 0] * n_cells + nb[..., 1]) * n_cells + nb[..., 2]
+    # invalid neighbours point at an all-invalid sentinel: reuse own cell id
+    # but mark via the second table
+    return (jnp.asarray(cid, jnp.int32),
+            jnp.asarray(valid, jnp.int32))
+
+
+def _erfc_approx(x):
+    """erfc for x >= 0, Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7) —
+    jax.lax.erfc has no Pallas TPU lowering, so the kernel carries its own."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
+def _shortrange_trunc_pallas(r, asmth):
+    """[G2: shortrange_table] erfc-truncation, Pallas-lowerable form."""
+    x = r / (2.0 * asmth)
+    return _erfc_approx(x) + (2.0 * x / jnp.sqrt(jnp.pi)) * jnp.exp(-x * x)
+
+
+def _decode_cell(ci, n):
+    cx = ci // (n * n)
+    rem = ci % (n * n)
+    return cx, rem // n, rem % n
+
+
+def _stencil_offsets(j):
+    return j // 9 - 1, (j // 3) % 3 - 1, j % 3 - 1
+
+
+def _make_kernel(box, asmth, rcut, periodic, n_cells):
+    from gadget_leicester_tpu.ops.softening import grav_fac
+
+    def kernel(tgt_ref, src_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        c = pl.program_id(0)
+        if periodic:
+            valid_nbr = jnp.float32(1.0)
+        else:
+            cx, cy, cz = _decode_cell(c, n_cells)
+            ox, oy, oz = _stencil_offsets(j)
+            inb = ((cx + ox >= 0) & (cx + ox < n_cells)
+                   & (cy + oy >= 0) & (cy + oy < n_cells)
+                   & (cz + oz >= 0) & (cz + oz < n_cells))
+            valid_nbr = inb.astype(jnp.float32)
+
+        t = tgt_ref[0]            # [8, cap]
+        s = src_ref[0]
+        dx = t[0, :][:, None] - s[0, :][None, :]
+        dy = t[1, :][:, None] - s[1, :][None, :]
+        dz = t[2, :][:, None] - s[2, :][None, :]
+        if periodic:
+            dx = dx - box * jnp.round(dx * (1.0 / box))
+            dy = dy - box * jnp.round(dy * (1.0 / box))
+            dz = dz - box * jnp.round(dz * (1.0 / box))
+        r2 = dx * dx + dy * dy + dz * dz
+        r = jnp.sqrt(r2)
+        h = jnp.maximum(t[4, :][:, None], s[4, :][None, :])
+        fac = grav_fac(r, h)
+        if asmth > 0.0:
+            fac = fac * _shortrange_trunc_pallas(r, asmth)
+        ok = (r < rcut) & (r > 0.0)
+        ok = ok & (s[5, :][None, :] > 0.0)
+        w = jnp.where(ok, s[3, :][None, :] * fac, 0.0)
+        w = w * jnp.asarray(valid_nbr, w.dtype)
+        ax = -jnp.sum(w * dx, axis=1)
+        ay = -jnp.sum(w * dy, axis=1)
+        az = -jnp.sum(w * dz, axis=1)
+        out_ref[0, 0, :] += ax
+        out_ref[0, 1, :] += ay
+        out_ref[0, 2, :] += az
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# SPH density + hydro cell-pair kernels
+# ---------------------------------------------------------------------------
+def pack_sph_soa(cl: CellList, pos, vel, mass, hsml, gas_mask):
+    """[C, 8, cap] rows = x, y, z, m, vx, vy, vz, h (invalid: m=0, parked)."""
+    idx = jnp.maximum(cl.cells, 0)
+    valid = (cl.cells >= 0) & gas_mask[idx]
+    # finite parking — see pack_cells_soa comment (f32 inf/NaN leakage)
+    far = jnp.asarray(-7.0, pos.dtype) / cl.inv_cell[0]
+    x = jnp.where(valid, pos[idx, 0], far)
+    y = jnp.where(valid, pos[idx, 1], far)
+    z = jnp.where(valid, pos[idx, 2], far)
+    m = jnp.where(valid, mass[idx], 0.0)
+    vx = jnp.where(valid, vel[idx, 0], 0.0)
+    vy = jnp.where(valid, vel[idx, 1], 0.0)
+    vz = jnp.where(valid, vel[idx, 2], 0.0)
+    h = jnp.where(valid, hsml[idx], 1.0)
+    return jnp.stack([x, y, z, m, vx, vy, vz, h], axis=1)
+
+
+def _pair_geometry(t, s, box, periodic):
+    dx = t[0, :][:, None] - s[0, :][None, :]
+    dy = t[1, :][:, None] - s[1, :][None, :]
+    dz = t[2, :][:, None] - s[2, :][None, :]
+    if periodic:
+        dx = dx - box * jnp.round(dx * (1.0 / box))
+        dy = dy - box * jnp.round(dy * (1.0 / box))
+        dz = dz - box * jnp.round(dz * (1.0 / box))
+    r2 = dx * dx + dy * dy + dz * dz
+    return dx, dy, dz, jnp.sqrt(r2)
+
+
+def _make_density_kernel(box, periodic, n_cells):
+    from gadget_leicester_tpu.ops.sph_kernels import (kernel_dw_dr,
+                                                      kernel_w_and_dwdh)
+
+    def kernel(tgt_ref, src_ref, h_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        if periodic:
+            vnb = jnp.float32(1.0)
+        else:
+            c = pl.program_id(0)
+            cx, cy, cz = _decode_cell(c, n_cells)
+            ox, oy, oz = _stencil_offsets(j)
+            inb = ((cx + ox >= 0) & (cx + ox < n_cells)
+                   & (cy + oy >= 0) & (cy + oy < n_cells)
+                   & (cz + oz >= 0) & (cz + oz < n_cells))
+            vnb = inb.astype(jnp.float32)
+
+        t = tgt_ref[0]
+        s = src_ref[0]
+        dx, dy, dz, r = _pair_geometry(t, s, box, periodic)
+        ht = h_ref[0, 0, :][:, None]
+        w, dwdh = kernel_w_and_dwdh(r, ht)
+        dwdr = kernel_dw_dr(r, ht)
+        m = s[3, :][None, :] * vnb
+        rho = jnp.sum(m * w, axis=1)
+        drhodh = jnp.sum(m * dwdh, axis=1)
+        rinv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-37), 0.0)
+        fac = m * dwdr * rinv
+        dvx = t[4, :][:, None] - s[4, :][None, :]
+        dvy = t[5, :][:, None] - s[5, :][None, :]
+        dvz = t[6, :][:, None] - s[6, :][None, :]
+        vdotr = dvx * dx + dvy * dy + dvz * dz
+        divv = -jnp.sum(fac * vdotr, axis=1)
+        # rot = sum fac * (dv x dx)
+        rx = jnp.sum(fac * (dvy * dz - dvz * dy), axis=1)
+        ry = jnp.sum(fac * (dvz * dx - dvx * dz), axis=1)
+        rz = jnp.sum(fac * (dvx * dy - dvy * dx), axis=1)
+        out_ref[0, 0, :] += rho
+        out_ref[0, 1, :] += drhodh
+        out_ref[0, 2, :] += divv
+        out_ref[0, 3, :] += rx
+        out_ref[0, 4, :] += ry
+        out_ref[0, 5, :] += rz
+
+    return kernel
+
+
+def density_sums_pallas(cl: CellList, soa, h_slots, box: float,
+                        n_cells: int, interpret: bool = False):
+    """Per-cell density sweep: returns [C, 8, cap] rows rho, drho_dh,
+    divv_raw, rot_raw(3). `soa` from pack_sph_soa (static rows);
+    h_slots [C, cap] is the per-slot smoothing length (separate input so
+    the adaptive loop never rebuilds the 8-row SoA)."""
+    c, _, cap = soa.shape
+    n = n_cells
+    periodic = cl.periodic
+
+    def src_index(ci, j):
+        cx, cy, cz = _decode_cell(ci, n)
+        ox, oy, oz = _stencil_offsets(j)
+        if periodic:
+            nx, ny, nz = (cx + ox) % n, (cy + oy) % n, (cz + oz) % n
+        else:
+            nx = jnp.clip(cx + ox, 0, n - 1)
+            ny = jnp.clip(cy + oy, 0, n - 1)
+            nz = jnp.clip(cz + oz, 0, n - 1)
+        return ((nx * n + ny) * n + nz, 0, 0)
+
+    grid_spec = pl.GridSpec(
+        grid=(c, 27),
+        in_specs=[
+            pl.BlockSpec((1, 8, cap), lambda ci, j: (ci, 0, 0)),
+            pl.BlockSpec((1, 8, cap), src_index),
+            pl.BlockSpec((1, 1, cap), lambda ci, j: (ci, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, cap), lambda ci, j: (ci, 0, 0)),
+    )
+    return pl.pallas_call(
+        _make_density_kernel(float(box), periodic, n),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c, 8, cap), soa.dtype),
+        interpret=interpret,
+    )(soa, soa, h_slots.reshape(c, 1, cap))
+
+
+def _make_hydro_kernel(box, periodic, n_cells, visc_const):
+    from gadget_leicester_tpu.ops.sph_kernels import kernel_dw_dr
+
+    def kernel(params_ref, tgt_a, tgt_b, src_a, src_b, out_ref):
+        # params (SMEM): [hubble_a2_flow, fac_mu] — traced comoving factors
+        hubble_a2_flow = params_ref[0, 0]
+        fac_mu = params_ref[0, 1]
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        if periodic:
+            vnb = jnp.float32(1.0)
+        else:
+            c = pl.program_id(0)
+            cx, cy, cz = _decode_cell(c, n_cells)
+            ox, oy, oz = _stencil_offsets(j)
+            inb = ((cx + ox >= 0) & (cx + ox < n_cells)
+                   & (cy + oy >= 0) & (cy + oy < n_cells)
+                   & (cz + oz >= 0) & (cz + oz < n_cells))
+            vnb = inb.astype(jnp.float32)
+
+        ta, tb = tgt_a[0], tgt_b[0]
+        sa, sb = src_a[0], src_b[0]
+        dx, dy, dz, r = _pair_geometry(ta, sa, box, periodic)
+        ht = ta[7, :][:, None]
+        hs = sa[7, :][None, :]
+        inside = (r < jnp.maximum(ht, hs)) & (r > 0.0)
+        inside = inside & (sb[4, :][None, :] > 0.0)   # src valid row
+        rinv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-37), 0.0)
+        dwk_i = kernel_dw_dr(r, ht)
+        dwk_j = kernel_dw_dr(r, hs)
+        dvx = ta[4, :][:, None] - sa[4, :][None, :]
+        dvy = ta[5, :][:, None] - sa[5, :][None, :]
+        dvz = ta[6, :][:, None] - sa[6, :][None, :]
+        r2 = r * r
+        vdotr2 = dvx * dx + dvy * dy + dvz * dz + hubble_a2_flow * r2
+        approaching = vdotr2 < 0.0
+        mu_ij = fac_mu * vdotr2 * rinv
+        vsig = tb[2, :][:, None] + sb[2, :][None, :] \
+            - 3.0 * jnp.where(approaching, mu_ij, 0.0)
+        rho_ij = 0.5 * (tb[0, :][:, None] + sb[0, :][None, :])
+        rho_ij = jnp.where(rho_ij > 0, rho_ij, 1.0)
+        f_ij = 0.5 * (tb[3, :][:, None] + sb[3, :][None, :])
+        visc = jnp.where(approaching,
+                         visc_const * vsig * (-mu_ij) / rho_ij * f_ij, 0.0)
+        m = sa[3, :][None, :]
+        hfc_visc = 0.5 * m * visc * (dwk_i + dwk_j) * rinv
+        hfc = hfc_visc + m * (tb[1, :][:, None] * dwk_i
+                              + sb[1, :][None, :] * dwk_j) * rinv
+        mask = jnp.where(inside, vnb, 0.0)
+        hfc = hfc * mask
+        hfc_visc = hfc_visc * mask
+        out_ref[0, 0, :] += -jnp.sum(hfc * dx, axis=1)
+        out_ref[0, 1, :] += -jnp.sum(hfc * dy, axis=1)
+        out_ref[0, 2, :] += -jnp.sum(hfc * dz, axis=1)
+        out_ref[0, 3, :] += 0.5 * jnp.sum(hfc_visc * vdotr2, axis=1)
+        msv = jnp.max(jnp.where(mask > 0, vsig, 0.0), axis=1)
+        out_ref[0, 4, :] = jnp.maximum(out_ref[0, 4, :], msv)
+
+    return kernel
+
+
+def hydro_sums_pallas(cl: CellList, soa_a, soa_b, box: float, n_cells: int,
+                      visc_const: float, hubble_a2_flow: float,
+                      fac_mu: float, interpret: bool = False):
+    """Per-cell hydro sweep. soa_a rows: x,y,z,m,vx,vy,vz,h;
+    soa_b rows: rho, p_over_rho2*f, c_snd, balsara, valid, 0,0,0.
+    Output rows: ax, ay, az, dt_ent_raw, max_signal_vel."""
+    c, _, cap = soa_a.shape
+    n = n_cells
+    periodic = cl.periodic
+
+    def src_index(ci, j):
+        cx, cy, cz = _decode_cell(ci, n)
+        ox, oy, oz = _stencil_offsets(j)
+        if periodic:
+            nx, ny, nz = (cx + ox) % n, (cy + oy) % n, (cz + oz) % n
+        else:
+            nx = jnp.clip(cx + ox, 0, n - 1)
+            ny = jnp.clip(cy + oy, 0, n - 1)
+            nz = jnp.clip(cz + oz, 0, n - 1)
+        return ((nx * n + ny) * n + nz, 0, 0)
+
+    params = jnp.stack([jnp.asarray(hubble_a2_flow, soa_a.dtype),
+                        jnp.asarray(fac_mu, soa_a.dtype)]).reshape(1, 2)
+    grid_spec = pl.GridSpec(
+        grid=(c, 27),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda ci, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, cap), lambda ci, j: (ci, 0, 0)),
+            pl.BlockSpec((1, 8, cap), lambda ci, j: (ci, 0, 0)),
+            pl.BlockSpec((1, 8, cap), src_index),
+            pl.BlockSpec((1, 8, cap), src_index),
+        ],
+        out_specs=pl.BlockSpec((1, 8, cap), lambda ci, j: (ci, 0, 0)),
+    )
+    return pl.pallas_call(
+        _make_hydro_kernel(float(box), periodic, n, float(visc_const)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c, 8, cap), soa_a.dtype),
+        interpret=interpret,
+    )(params, soa_a, soa_b, soa_a, soa_b)
+
+
+def density_adaptive_pallas(
+    pos, vel, mass, hsml0, gas_mask,
+    des_num_ngb: float, max_dev: float,
+    box: float, n_cells: int, capacity: int = 128,
+    min_hsml: float = 0.0, max_hsml=None,
+    periodic: bool = True, max_iters: int = 40,
+    origin=0.0, extent=None, interpret: bool = False,
+):
+    """Adaptive-h density solve on the Pallas sweep (API mirrors
+    ops.sph_cells.density_adaptive_cells; returns (DensityResult, CellList)).
+
+    The Newton/bisection iteration runs ENTIRELY in cell-slot space
+    [C*cap]: per sweep the only data movement is the h-slot input and the
+    kernel output — no per-iteration particle gathers/scatters (those cost
+    more than the kernel at production sizes). Particle-space fields are
+    produced by one scatter set at the end.
+    """
+    from gadget_leicester_tpu.ops.sph_dense import (DensityResult,
+                                                    density_adaptive_generic)
+
+    extent = box if extent is None else extent
+    cl = build_cell_list(pos, gas_mask, origin, extent, n_cells=n_cells,
+                         capacity=capacity, periodic=periodic)
+    ng = pos.shape[0]
+    c, cap = cl.cells.shape
+
+    base_soa = pack_sph_soa(cl, pos, vel, mass,
+                            jnp.ones(ng, pos.dtype), gas_mask)
+    idx = jnp.maximum(cl.cells, 0)
+    valid = (cl.cells >= 0) & gas_mask[idx]
+    mass_slots = base_soa[:, 3, :].reshape(-1)
+    mask_slots = valid.reshape(-1)
+    h0_slots = jnp.where(valid, hsml0[idx], 1.0).reshape(-1)
+
+    def sweep(h_slots):
+        out = density_sums_pallas(cl, base_soa, h_slots.reshape(c, cap),
+                                  box, n_cells, interpret=interpret)
+        rho = out[:, 0, :].reshape(-1)
+        drhodh = out[:, 1, :].reshape(-1)
+        divv = out[:, 2, :].reshape(-1)
+        rot = jnp.stack([out[:, 3, :].reshape(-1), out[:, 4, :].reshape(-1),
+                         out[:, 5, :].reshape(-1)], axis=-1)
+        return rho, drhodh, divv, rot
+
+    res_slots = density_adaptive_generic(
+        sweep, mass_slots, h0_slots, mask_slots, des_num_ngb, max_dev,
+        min_hsml=min_hsml, max_hsml=max_hsml, max_iters=max_iters)
+
+    # slot space -> particle space (single scatter per field)
+    flat_idx = jnp.where(mask_slots, idx.reshape(-1), ng)
+
+    def to_part(x_slots, fill=0.0):
+        return jnp.full((ng + 1,), fill, x_slots.dtype).at[flat_idx].set(
+            x_slots, mode="drop")[:ng]
+
+    res = DensityResult(
+        rho=to_part(res_slots.rho),
+        dhsml_factor=to_part(res_slots.dhsml_factor, 1.0),
+        div_vel=to_part(res_slots.div_vel),
+        curl_vel=to_part(res_slots.curl_vel),
+        num_ngb_eff=to_part(res_slots.num_ngb_eff),
+        hsml=to_part(res_slots.hsml, 1.0),
+        iters=res_slots.iters,
+    )
+    return res, cl
+
+
+def hydro_force_pallas(
+    cl: CellList, pos, vel, mass, hsml, rho, pressure, dhsml_factor,
+    div_vel, curl_vel, gas_mask, visc_const: float,
+    box: float, n_cells: int,
+    hubble_a2_flow=0.0, hubble_a2_norm=1.0, fac_mu=1.0,
+    interpret: bool = False,
+):
+    """Entropy-form hydro force on the Pallas sweep (API mirrors
+    ops.sph_cells.hydro_force_cells; cl from density_adaptive_pallas)."""
+    from gadget_leicester_tpu.core.config import GAMMA, GAMMA_MINUS1
+    from gadget_leicester_tpu.ops.sph_dense import HydroResult
+
+    ng = pos.shape[0]
+    rho_safe = jnp.where(rho > 0, rho, 1.0)
+    c_snd = jnp.sqrt(GAMMA * pressure / rho_safe)
+    p_over_rho2 = pressure / rho_safe**2 * dhsml_factor
+    h_safe = jnp.where(hsml > 0, hsml, 1.0)
+    balsara = jnp.abs(div_vel) / (
+        jnp.abs(div_vel) + curl_vel + 1e-4 * c_snd / h_safe / fac_mu)
+
+    soa_a = pack_sph_soa(cl, pos, vel, mass, hsml, gas_mask)
+    idx = jnp.maximum(cl.cells, 0)
+    valid = ((cl.cells >= 0) & gas_mask[idx]).astype(pos.dtype)
+    zero = jnp.zeros_like(valid)
+    soa_b = jnp.stack([rho[idx], p_over_rho2[idx], c_snd[idx],
+                       balsara[idx], valid, zero, zero, zero], axis=1)
+
+    out = hydro_sums_pallas(cl, soa_a, soa_b, box, n_cells, visc_const,
+                            hubble_a2_flow, fac_mu, interpret=interpret)
+    ax, ay, az, dt_raw, msv = scatter_cell_rows(cl, out, ng,
+                                                rows=(0, 1, 2, 3, 4))
+    acc = jnp.stack([ax, ay, az], axis=-1)
+    dt_ent = dt_raw * GAMMA_MINUS1 / (
+        jnp.asarray(hubble_a2_norm, rho.dtype)**2 * rho_safe**GAMMA_MINUS1)
+    gm = gas_mask
+    return HydroResult(
+        acc=jnp.where(gm[:, None], acc, 0.0),
+        dt_entropy=jnp.where(gm, dt_ent, 0.0),
+        max_signal_vel=jnp.where(gm, msv, 0.0),
+    )
+
+
+def scatter_cell_rows(cl: CellList, out, n_particles: int, rows):
+    """[C,8,cap] kernel output -> per-particle arrays for `rows` indices."""
+    idx = jnp.where(cl.cells >= 0, jnp.maximum(cl.cells, 0),
+                    n_particles).reshape(-1)
+    results = []
+    for r in rows:
+        flat = out[:, r, :].reshape(-1)
+        arr = jnp.zeros((n_particles + 1,), out.dtype).at[idx].set(
+            flat, mode="drop")[:n_particles]
+        results.append(arr)
+    return results
+
+
+@partial(jax.jit, static_argnames=("box", "n_cells", "capacity", "periodic",
+                                   "asmth", "rcut", "interpret"))
+def shortrange_gravity_pallas(
+    pos,
+    mass,
+    soft,
+    alive,
+    box: float,
+    n_cells: int,
+    capacity: int = 128,
+    asmth: float = 0.0,
+    rcut: float = 1e30,
+    periodic: bool = True,
+    interpret: bool = False,
+):
+    """acc[N,3] (no G factor) via the Pallas cell-pair kernel."""
+    cl = build_cell_list(pos, alive, 0.0, box, n_cells=n_cells,
+                         capacity=capacity, periodic=periodic)
+    soa = pack_cells_soa(cl, pos, mass, soft, alive)
+    c, _, cap = soa.shape
+    n = n_cells
+
+    def src_index(ci, j):
+        # neighbour cell id from pure grid-index arithmetic (no SMEM tables)
+        cx, cy, cz = _decode_cell(ci, n)
+        ox, oy, oz = _stencil_offsets(j)
+        if periodic:
+            nx, ny, nz = (cx + ox) % n, (cy + oy) % n, (cz + oz) % n
+        else:
+            nx = jnp.clip(cx + ox, 0, n - 1)
+            ny = jnp.clip(cy + oy, 0, n - 1)
+            nz = jnp.clip(cz + oz, 0, n - 1)
+        return ((nx * n + ny) * n + nz, 0, 0)
+
+    grid_spec = pl.GridSpec(
+        grid=(c, 27),
+        in_specs=[
+            pl.BlockSpec((1, 8, cap), lambda ci, j: (ci, 0, 0)),
+            pl.BlockSpec((1, 8, cap), src_index),
+        ],
+        out_specs=pl.BlockSpec((1, 8, cap), lambda ci, j: (ci, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _make_kernel(box, asmth, rcut, periodic, n),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c, 8, cap), soa.dtype),
+        interpret=interpret,
+    )(soa, soa)
+
+    # scatter per-cell results back to particle order
+    idx = jnp.maximum(cl.cells, 0)                       # [C, cap]
+    valid = cl.cells >= 0
+    acc = jnp.zeros((pos.shape[0], 3), pos.dtype)
+    flat_idx = jnp.where(valid, idx, pos.shape[0]).reshape(-1)
+    ax = out[:, 0, :].reshape(-1)
+    ay = out[:, 1, :].reshape(-1)
+    az = out[:, 2, :].reshape(-1)
+    acc = acc.at[flat_idx, 0].set(ax, mode="drop")
+    acc = acc.at[flat_idx, 1].set(ay, mode="drop")
+    acc = acc.at[flat_idx, 2].set(az, mode="drop")
+    return jnp.where(alive[:, None], acc, 0.0), cl.overflow

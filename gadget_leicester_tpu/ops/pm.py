@@ -88,7 +88,7 @@ def greens_function(n: int, box: float, asmth_grid: float, dtype=jnp.float32):
     return jnp.where(k2 > 0, g, 0.0)
 
 
-@partial(jax.jit, static_argnames=("n", "gradient"))
+@partial(jax.jit, static_argnames=("n", "gradient", "with_potential"))
 def pm_forces_periodic(
     pos,
     mass,
@@ -97,13 +97,15 @@ def pm_forces_periodic(
     n: int,
     asmth_grid: float = ASMTH,
     gradient: str = "fd4",
+    with_potential: bool = False,
 ):
     """Long-range accelerations (no G factor), periodic box.
 
     gradient="fd4": 4-point finite difference, matches the reference
     [G2: pm_periodic.c]; "spectral": ik-space gradient (3 extra iFFTs,
     more accurate at the Nyquist end).
-    Returns acc[N,3].
+    Returns acc[N,3], or (acc, pot[N]) when with_potential (sharing the
+    deposit + forward FFT — the potential is a free CIC gather of phi).
     """
     f = pos.dtype
     m = jnp.where(alive, mass, 0.0).astype(f)
@@ -143,7 +145,11 @@ def pm_forces_periodic(
     acc = jnp.stack(
         [cic_gather(force[..., c], posw, box, n) for c in range(3)], axis=-1
     )
-    return jnp.where(alive[:, None], acc, 0.0)
+    acc = jnp.where(alive[:, None], acc, 0.0)
+    if with_potential:
+        pot = jnp.where(alive, cic_gather(phi, posw, box, n), 0.0)
+        return acc, pot
+    return acc
 
 
 @partial(jax.jit, static_argnames=("n",))

@@ -34,14 +34,15 @@ def grav_fac(r, h_soft, rinv=None):
     hinv = jnp.where(h_soft > 0, 1.0 / jnp.maximum(h_soft, 1e-37), 0.0)
     u = r * hinv
     u = jnp.where(r > 0, u, 0.0)
-    h3inv = hinv**3
-    uinv3 = jnp.where(u > 0, 1.0 / jnp.maximum(u, 1e-37) ** 3, 0.0)
+    h3inv = hinv * hinv * hinv
+    uinv = jnp.where(u > 0, 1.0 / jnp.maximum(u, 1e-37), 0.0)
+    uinv3 = uinv * uinv * uinv
     inner = h3inv * (10.666666666667 + u * u * (32.0 * u - 38.4))
     outer = h3inv * (
         21.333333333333 - 48.0 * u + 38.4 * u * u
-        - 10.666666666667 * u**3 - 0.066666666667 * uinv3
+        - 10.666666666667 * (u * u * u) - 0.066666666667 * uinv3
     )
-    newton = rinv**3
+    newton = rinv * rinv * rinv
     fac = jnp.where(u < 0.5, inner, jnp.where(u < 1.0, outer, newton))
     return jnp.where(r > 0, fac, 0.0)
 

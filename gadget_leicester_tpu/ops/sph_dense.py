@@ -143,57 +143,64 @@ def density_adaptive_generic(
         m_safe = jnp.where(mass > 0, mass, 1.0)
         return NORM_COEFF * h**3 * rho / m_safe
 
+    def dh_factor(h, rho, drho_dh):
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        fac_ = 1.0 / (1.0 + h * drho_dh / (3.0 * rho_safe))
+        return jnp.where((fac_ > 0.1) & (fac_ < 10.0), fac_, 1.0)
+
+    # seed sweep; the loop carries the sums so NO final sweep is needed
+    # (warm-started solves cost exactly one sweep)
+    h0 = jnp.maximum(hsml0, jnp.asarray(min_hsml, f))
+    if max_hsml is not None:
+        h0 = jnp.minimum(h0, max_hsml)
+    sums0 = sweep(h0)
+    z = jnp.zeros_like(h0)
+
+    def converged(h, rho):
+        return jnp.abs(eff_ngb(h, rho) - des_num_ngb) < max_dev
+
     def cond(carry):
-        h, left, right, done, it = carry
-        return jnp.logical_and(it < max_iters, jnp.logical_not(jnp.all(done)))
+        h, left, right, done, it, sums = carry
+        return jnp.logical_and(it < max_iters,
+                               jnp.logical_not(jnp.all(done)))
 
     def body(carry):
-        h, left, right, done, it = carry
-        rho, drho_dh, _, _ = sweep(h)
+        h, left, right, done, it, sums = carry
+        rho, drho_dh = sums[0], sums[1]
         neff = eff_ngb(h, rho)
-        rho_safe = jnp.where(rho > 0, rho, 1.0)
-        dh_fac = 1.0 / (1.0 + h * drho_dh / (3.0 * rho_safe))
-        dh_fac = jnp.where((dh_fac > 0.1) & (dh_fac < 10.0), dh_fac, 1.0)
-        conv = jnp.abs(neff - des_num_ngb) < max_dev
-        # bracket collapse also counts as converged [G2: density.c]
+        dh_fac = dh_factor(h, rho, drho_dh)
+        conv = converged(h, rho)
         narrow = (left > 0) & (right > 0) & ((right - left) < 1e-3 * left)
-        newly_done = conv | narrow | ~gas_mask
-        # update brackets for unconverged
+        now_done = conv | narrow | ~gas_mask | done
         low = neff < des_num_ngb
-        left_n = jnp.where(~newly_done & low, jnp.maximum(h, left), left)
+        left_n = jnp.where(~now_done & low, jnp.maximum(h, left), left)
         right_n = jnp.where(
-            ~newly_done & ~low,
+            ~now_done & ~low,
             jnp.where(right > 0, jnp.minimum(h, right), h),
             right,
         )
-        # Newton-ish update [G2: density.c fac clamp 1/1.26 .. 1.26]
         neff_safe = jnp.maximum(neff, 1e-6)
-        fac = 1.0 - (neff - des_num_ngb) / (3.0 * neff_safe) * dh_fac
-        fac = jnp.clip(fac, 1.0 / 1.26, 1.26)
-        h_newton = h * fac
+        fac_ = 1.0 - (neff - des_num_ngb) / (3.0 * neff_safe) * dh_fac
+        fac_ = jnp.clip(fac_, 1.0 / 1.26, 1.26)
+        h_newton = h * fac_
         h_bisect = jnp.cbrt(0.5 * (left_n**3 + right_n**3))
         both = (left_n > 0) & (right_n > 0)
         h_next = jnp.where(both, h_bisect, h_newton)
         h_next = jnp.maximum(h_next, min_hsml)
         if max_hsml is not None:
             h_next = jnp.minimum(h_next, max_hsml)
-        h_out = jnp.where(done | newly_done, h, h_next)
-        return (h_out, left_n, right_n, done | newly_done, it + 1)
+        h_out = jnp.where(now_done, h, h_next)
+        sums_new = sweep(h_out)
+        # particles whose h did not change keep consistent sums either way
+        return (h_out, left_n, right_n, now_done, it + 1, sums_new)
 
-    z = jnp.zeros_like(hsml0)
-    init = (
-        jnp.maximum(hsml0, jnp.asarray(min_hsml, f)),
-        z,
-        z,
-        ~gas_mask,
-        jnp.int32(0),
-    )
-    h, left, right, done, iters = jax.lax.while_loop(cond, body, init)
+    done0 = converged(h0, sums0[0]) | ~gas_mask
+    init = (h0, z, z, done0, jnp.int32(0), sums0)
+    h, left, right, done, iters, sums = jax.lax.while_loop(cond, body, init)
 
-    rho, drho_dh, divv_raw, rot_raw = sweep(h)
+    rho, drho_dh, divv_raw, rot_raw = sums
     rho_safe = jnp.where(rho > 0, rho, 1.0)
-    dh_fac = 1.0 / (1.0 + h * drho_dh / (3.0 * rho_safe))
-    dh_fac = jnp.where((dh_fac > 0.1) & (dh_fac < 10.0), dh_fac, 1.0)
+    dh_fac = dh_factor(h, rho, drho_dh)
     div_vel = divv_raw / rho_safe
     curl_vel = jnp.sqrt(jnp.sum(rot_raw**2, axis=-1)) / rho_safe
     neff = eff_ngb(h, rho)
