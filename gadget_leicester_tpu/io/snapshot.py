@@ -322,6 +322,98 @@ def write_snapshot(path: str, snap: SnapshotData, fmt: int = 1,
 
 
 # ---------------------------------------------------------------------------
+# Multi-file snapshot sets [G2: io.c NumFilesPerSnapshot > 1]
+# ---------------------------------------------------------------------------
+def write_snapshot_set(path_base: str, snap: SnapshotData, num_files: int = 1,
+                       fmt: int = 1, endian: str = "<") -> None:
+    """Split the snapshot across `num_files` files ``path_base.K``
+    (single-file sets keep the bare path, matching the reference)."""
+    if num_files <= 1:
+        write_snapshot(path_base, snap, fmt=fmt, endian=endian)
+        return
+    n = int(snap.header.npart.sum())
+    bounds = np.linspace(0, n, num_files + 1).astype(int)
+    ptype = snap.ptype
+    ngas_total = int(snap.header.npart[0])
+    for k in range(num_files):
+        lo, hi = bounds[k], bounds[k + 1]
+        h = Header()
+        for t in range(N_TYPES):
+            h.npart[t] = int(((ptype[lo:hi]) == t).sum())
+        h.mass = snap.header.mass.copy()
+        h.npart_total = snap.header.npart_total.copy()
+        h.time = snap.header.time
+        h.redshift = snap.header.redshift
+        h.box_size = snap.header.box_size
+        h.omega0 = snap.header.omega0
+        h.omega_lambda = snap.header.omega_lambda
+        h.hubble_param = snap.header.hubble_param
+        h.num_files = num_files
+        gas_lo, gas_hi = min(lo, ngas_total), min(hi, ngas_total)
+        part = SnapshotData(
+            header=h,
+            pos=snap.pos[lo:hi], vel=snap.vel[lo:hi],
+            ids=snap.ids[lo:hi], mass=snap.mass[lo:hi],
+            u=None if snap.u is None else snap.u[gas_lo:gas_hi],
+            rho=None if snap.rho is None else snap.rho[gas_lo:gas_hi],
+            hsml=None if snap.hsml is None else snap.hsml[gas_lo:gas_hi],
+        )
+        write_snapshot(f"{path_base}.{k}", part, fmt=fmt, endian=endian)
+
+
+def read_snapshot_set(path_base: str) -> SnapshotData:
+    """Read a snapshot regardless of single/multi-file layout
+    [G2: read_ic.c file-group handling]."""
+    import os
+    if os.path.exists(path_base):
+        snap = read_snapshot(path_base)
+        if snap.header.num_files <= 1:
+            return snap
+    parts = []
+    k = 0
+    while os.path.exists(f"{path_base}.{k}"):
+        parts.append(read_snapshot(f"{path_base}.{k}"))
+        k += 1
+    if not parts:
+        raise FileNotFoundError(f"no snapshot at {path_base}(.K)")
+    # concatenate in type order: gather per type across files
+    h = Header()
+    h.npart = sum(p.header.npart for p in parts).astype(np.uint32)
+    h.npart_total = parts[0].header.npart_total.copy()
+    h.mass = parts[0].header.mass.copy()
+    h.time = parts[0].header.time
+    h.redshift = parts[0].header.redshift
+    h.box_size = parts[0].header.box_size
+    h.omega0 = parts[0].header.omega0
+    h.omega_lambda = parts[0].header.omega_lambda
+    h.hubble_param = parts[0].header.hubble_param
+    pos, vel, ids, mass, u, rho, hsml = [], [], [], [], [], [], []
+    for t in range(N_TYPES):
+        for p in parts:
+            tm = p.ptype == t
+            if not tm.any():
+                continue
+            pos.append(p.pos[tm]); vel.append(p.vel[tm])
+            ids.append(p.ids[tm]); mass.append(p.mass[tm])
+            if t == 0:
+                ng = int(tm[:len(p.u) if p.u is not None else 0].sum())
+                if p.u is not None:
+                    u.append(p.u)
+                if p.rho is not None:
+                    rho.append(p.rho)
+                if p.hsml is not None:
+                    hsml.append(p.hsml)
+    return SnapshotData(
+        header=h,
+        pos=np.concatenate(pos), vel=np.concatenate(vel),
+        ids=np.concatenate(ids), mass=np.concatenate(mass),
+        u=np.concatenate(u) if u else None,
+        rho=np.concatenate(rho) if rho else None,
+        hsml=np.concatenate(hsml) if hsml else None,
+    )
+
+
+# ---------------------------------------------------------------------------
 # HDF5 (format 3)
 # ---------------------------------------------------------------------------
 def _is_hdf5(path: str) -> bool:

@@ -154,10 +154,10 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
         opts.use_pallas == "auto" and jax.default_backend() == "tpu")
     if use_pallas:
         from gadget_leicester_tpu.ops.pallas_cells import \
-            shortrange_gravity_pallas
+            shortrange_gravity_pallas_dma
         cap = opts.sr_capacity if opts.sr_capacity > 0 else 128
         cap = max(128, ((cap + 127) // 128) * 128)  # lane-aligned
-        acc_sr, overflow = shortrange_gravity_pallas(
+        acc_sr, overflow = shortrange_gravity_pallas_dma(
             p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
             capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
             periodic=True)

@@ -267,7 +267,7 @@ class Simulation:
         import time as _time
 
         from gadget_leicester_tpu.io.restart import save_restart
-        from gadget_leicester_tpu.io.snapshot import write_snapshot
+        from gadget_leicester_tpu.io.snapshot import write_snapshot_set
         from gadget_leicester_tpu.io.state_io import snapshot_from_state
         from gadget_leicester_tpu.utils.diagnostics import energy_statistics
         from gadget_leicester_tpu.utils.logfiles import RunLogs
@@ -275,6 +275,13 @@ class Simulation:
         cfg, opts = self.cfg, self.opts
         if self.logs is None:
             self.logs = RunLogs(cfg)
+        # OutputListOn: snapshot times from file [G2: begrun.c read_outputlist]
+        output_times = None
+        if cfg.output_list_on and cfg.output_list_filename:
+            with open(cfg.output_list_filename) as fh:
+                output_times = sorted(
+                    float(line.split()[0]) for line in fh
+                    if line.strip() and not line.startswith("%"))
         wall0 = _time.time()
         limit = wall_limit_s if wall_limit_s is not None else cfg.time_limit_cpu
         self.last_restart_wall = _time.time()
@@ -301,19 +308,32 @@ class Simulation:
                 st = energy_statistics(self.state, cfg, opts)
                 self.logs.log_energy(t_now, st)
                 self.next_stats_time += cfg.time_bet_statistics
-            if t_now >= self.next_snapshot_time and cfg.time_bet_snapshot > 0:
+                if opts.forcetest > 0:
+                    from gadget_leicester_tpu.utils.forcetest import (
+                        run_forcetest, write_forcetest_file)
+                    res = run_forcetest(self.state, cfg, opts)
+                    write_forcetest_file(res, self.state, cfg)
+            if output_times is not None:
+                due = (self.snapshot_count < len(output_times)
+                       and t_now >= output_times[self.snapshot_count])
+            else:
+                due = (t_now >= self.next_snapshot_time
+                       and cfg.time_bet_snapshot > 0)
+            if due:
                 snap = snapshot_from_state(self.state, cfg, opts)
                 base = os.path.join(
                     cfg.output_dir,
                     f"{cfg.snapshot_file_base}_{self.snapshot_count:03d}")
-                write_snapshot(base, snap, fmt=cfg.snap_format)
+                write_snapshot_set(base, snap, cfg.num_files_per_snapshot,
+                                   fmt=cfg.snap_format)
                 self.snapshot_count += 1
-                if cfg.comoving_integration_on:
-                    self.next_snapshot_time = max(
-                        self.next_snapshot_time * cfg.time_bet_snapshot,
-                        t_now * 1.0000001)
-                else:
-                    self.next_snapshot_time += cfg.time_bet_snapshot
+                if output_times is None:
+                    if cfg.comoving_integration_on:
+                        self.next_snapshot_time = max(
+                            self.next_snapshot_time * cfg.time_bet_snapshot,
+                            t_now * 1.0000001)
+                    else:
+                        self.next_snapshot_time += cfg.time_bet_snapshot
             if (_time.time() - self.last_restart_wall
                     > cfg.cpu_time_bet_restart_file):
                 save_restart(
