@@ -90,8 +90,10 @@ def compute_forces(
     # ----- gravity ------------------------------------------------------
     mode = opts.gravity_mode
     if mode == "auto":
-        if opts.periodic and opts.pmgrid > 0:
-            mode = "treepm"
+        if opts.periodic:
+            # periodic + PMGRID -> TreePM; periodic without PM -> the
+            # Ewald-corrected tree [G2: PERIODIC without PMGRID]
+            mode = "treepm" if opts.pmgrid > 0 else "tree"
         else:
             mode = "direct" if p.n_max <= opts.direct_threshold else "tree"
 
@@ -179,7 +181,8 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
 
 
 def _tree_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
-    """Barnes-Hut tree gravity (vacuum or periodic-without-PM)."""
+    """Barnes-Hut tree gravity — vacuum, or periodic-without-PM with the
+    tabulated Ewald correction [G2: force_treeevaluate_ewald_correction]."""
     from gadget_leicester_tpu.ops.tree import tree_gravity
     p = state.p
     return tree_gravity(
@@ -189,6 +192,8 @@ def _tree_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
         err_tol_force_acc=cfg.err_tol_force_acc,
         old_acc=p.old_acc / jnp.maximum(cfg.grav_internal, 1e-37),
         depth=opts.tree_depth,
+        periodic=opts.periodic,
+        box=float(cfg.box_size),
     )
 
 

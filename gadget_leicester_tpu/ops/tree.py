@@ -27,9 +27,9 @@ Design
   (M s^4 > alpha |a_old| d^6) [G2: force_treeevaluate() opening tests],
   made conservative over the block via min-distance / min-|a_old|.
 
-Vacuum boundaries (the tree is the production path for galaxy/cluster
-workloads; periodic boxes use TreePM instead — Ewald-corrected
-tree-periodic is future work, [G2: force_treeevaluate_ewald_correction()]).
+Boundaries: vacuum (galaxy/cluster workloads) or periodic-without-PM via
+the tabulated Ewald correction [G2: force_treeevaluate_ewald_correction()]
+applied to every accepted monopole / bucket interaction (periodic=True).
 """
 
 from __future__ import annotations
@@ -183,21 +183,33 @@ def build_octree(pos, mass, soft, alive, depth: int = 8) -> Octree:
     )
 
 
-def _eval_monopole(tpos, tsoft, node_com, node_mass, node_soft, valid):
+def _eval_monopole(tpos, tsoft, node_com, node_mass, node_soft, valid,
+                   pctx=None):
     """Softened monopole kernel for a [B] x [F] interaction set.
-    Returns (acc [B,3], pot [B])."""
+    Returns (acc [B,3], pot [B]). `pctx=(box, ewald_table)` adds the
+    periodic minimum image + tabulated Ewald correction
+    [G2: force_treeevaluate_ewald_correction()]."""
     dx = tpos[:, None, :] - node_com[None, :, :]
+    if pctx is not None:
+        box, table = pctx
+        dx = dx - box * jnp.round(dx / box)
     r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
     h = jnp.maximum(tsoft[:, None], node_soft[None, :])
     m = jnp.where(valid[None, :], node_mass[None, :], 0.0)
     fac = grav_fac(r, h)
     acc = -jnp.einsum("bf,bfc->bc", m * fac, dx)
     pot = jnp.sum(m * jnp.where(r > 0, grav_pot(r, h), 0.0), axis=-1)
+    if pctx is not None:
+        from gadget_leicester_tpu.ops.ewald import ewald_correction_jnp
+        ca, cp = ewald_correction_jnp(dx, box, table)
+        acc = acc + jnp.einsum("bf,bfc->bc", m, ca)
+        pot = pot + jnp.sum(m * cp, axis=-1)
     return acc, pot
 
 
 @partial(jax.jit, static_argnames=("depth", "block", "frontier_cap",
-                                   "bucket_cap", "opening"))
+                                   "bucket_cap", "opening", "periodic",
+                                   "box", "ewald_res"))
 def tree_gravity(
     pos,
     mass,
@@ -211,6 +223,9 @@ def tree_gravity(
     block: int = 256,
     frontier_cap: int = 2048,
     bucket_cap: int = 48,
+    periodic: bool = False,
+    box: float = 0.0,
+    ewald_res: int = 32,
 ):
     """Full Barnes-Hut accelerations + potentials (no G factor).
 
@@ -221,6 +236,12 @@ def tree_gravity(
     """
     n = pos.shape[0]
     f = pos.dtype
+    if periodic:
+        from gadget_leicester_tpu.ops.ewald import ewald_correction_table
+        pctx = (box, ewald_correction_table(ewald_res))
+        pos = jnp.mod(pos, box)
+    else:
+        pctx = None
     tree = build_octree(pos, mass, soft, alive, depth=depth)
     nb = -(-n // block)
     npad = nb * block
@@ -265,7 +286,10 @@ def tree_gravity(
             ncom = tree.com[i][ndx]
             nmass = jnp.where(valid, tree.mass[i][ndx], 0.0)
             nsoft = tree.maxsoft[i][ndx]
-            d_com = jnp.sqrt(jnp.sum((ncom - c[None, :]) ** 2, -1))
+            dcv = ncom - c[None, :]
+            if periodic:
+                dcv = dcv - box * jnp.round(dcv / box)
+            d_com = jnp.sqrt(jnp.sum(dcv * dcv, -1))
             d = jnp.maximum(d_com - rb, 1e-30)       # conservative min dist
             if opening == 1:
                 # relative criterion, geometric fallback when a_old == 0
@@ -285,7 +309,8 @@ def tree_gravity(
             # to evaluate directly NOW as a bucket at the last level; here we
             # only monopole-accept the closed ones:
             accept = valid & (nmass > 0) & ~open_
-            a, pp = _eval_monopole(tpos, tsoft, ncom, nmass, nsoft, accept)
+            a, pp = _eval_monopole(tpos, tsoft, ncom, nmass, nsoft, accept,
+                                   pctx=pctx)
             acc, pot = acc + a, pot + pp
 
             is_last = lvl == tree.depth
@@ -302,7 +327,8 @@ def tree_gravity(
                 fits = opened & (cum <= frontier_cap)
                 forced = opened & ~fits
                 overflow = overflow | jnp.any(forced)
-                a, pp = _eval_monopole(tpos, tsoft, ncom, nmass, nsoft, forced)
+                a, pp = _eval_monopole(tpos, tsoft, ncom, nmass, nsoft,
+                                       forced, pctx=pctx)
                 acc, pot = acc + a, pot + pp
                 # expand children of fitting nodes -> next frontier
                 cand = clo[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
@@ -327,7 +353,8 @@ def tree_gravity(
                 ppos = tree.pos_s[pidc]
                 pmass = jnp.where(pvalid.reshape(-1), tree.mass_s[pidc], 0.0)
                 psoft = tree.soft_s[pidc]
-                a, pp = _eval_pointset(tpos, tsoft, ppos, pmass, psoft)
+                a, pp = _eval_pointset(tpos, tsoft, ppos, pmass, psoft,
+                                       pctx=pctx)
                 acc, pot = acc + a, pot + pp
                 # residual monopole of dropped bucket tails
                 m_eval = jax.ops.segment_sum(
@@ -342,7 +369,7 @@ def tree_gravity(
                 com_res = (tree.mass[i][ndx, None] * tree.com[i][ndx]
                            - wx_eval) / jnp.maximum(m_res, 1e-37)[:, None]
                 a, pp = _eval_monopole(tpos, tsoft, com_res, m_res, nsoft,
-                                       m_res > 1e-37)
+                                       m_res > 1e-37, pctx=pctx)
                 acc, pot = acc + a, pot + pp
 
         acc = jnp.where(talive[:, None], acc, 0.0)
@@ -358,13 +385,22 @@ def tree_gravity(
     return acc, pot
 
 
-def _eval_pointset(tpos, tsoft, ppos, pmass, psoft):
+def _eval_pointset(tpos, tsoft, ppos, pmass, psoft, pctx=None):
     """Direct particle-particle kernel for leaf buckets [B] x [P]."""
     dx = tpos[:, None, :] - ppos[None, :, :]
+    if pctx is not None:
+        box, table = pctx
+        dx = dx - box * jnp.round(dx / box)
     r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
     h = jnp.maximum(tsoft[:, None], psoft[None, :])
     fac = grav_fac(r, h)
     acc = -jnp.einsum("bp,bpc->bc", pmass[None, :] * fac, dx)
     pot = jnp.sum(pmass[None, :] * jnp.where(r > 0, grav_pot(r, h), 0.0),
                   axis=-1)
+    if pctx is not None:
+        from gadget_leicester_tpu.ops.ewald import ewald_correction_jnp
+        ca, cp = ewald_correction_jnp(dx, box, table)
+        m = pmass[None, :]
+        acc = acc + jnp.einsum("bp,bpc->bc", m * jnp.ones_like(r), ca)
+        pot = pot + jnp.sum(m * cp, axis=-1)
     return acc, pot

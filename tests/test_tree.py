@@ -93,3 +93,23 @@ def test_tree_dead_particles(rng):
     np.testing.assert_allclose(np.asarray(accA)[alive], np.asarray(acc_live),
                                rtol=2e-2, atol=1e-4)
     assert np.all(np.asarray(accA)[~alive] == 0.0)
+
+
+def test_tree_periodic_ewald(rng):
+    """Ewald-corrected periodic tree vs the exact periodic oracle
+    [G2: ewald correction + forcetest]."""
+    from gadget_leicester_tpu.ops.ewald import direct_periodic_forces
+    n, box = 300, 1.0
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n)
+    soft = jnp.full(n, 0.004, jnp.float32)
+    alive = jnp.ones(n, bool)
+    acc_t, _ = tree_gravity(jnp.asarray(pos), jnp.asarray(mass, jnp.float32),
+                            soft, alive, theta=0.3, opening=0, depth=6,
+                            periodic=True, box=box)
+    oracle = direct_periodic_forces(pos.astype(np.float64), mass, box)
+    acc_t = np.asarray(acc_t)
+    scale = np.abs(oracle).max()
+    err = np.linalg.norm(acc_t - oracle, axis=1) / scale
+    assert np.quantile(err, 0.95) < 2e-2, np.quantile(err, [0.5, 0.95, 1.0])
+    assert np.median(err) < 5e-3
