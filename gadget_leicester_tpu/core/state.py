@@ -50,7 +50,9 @@ class ParticleState:
     mass: jnp.ndarray       # [N]
     ptype: jnp.ndarray      # [N] int32, 0..5
     pid: jnp.ndarray        # [N] int64 particle ID
-    acc: jnp.ndarray        # [N,3] gravitational acceleration (comoving units)
+    acc: jnp.ndarray        # [N,3] short-range/tree gravitational acceleration
+    acc_pm: jnp.ndarray     # [N,3] long-range PM acceleration (FROZEN between
+                            # PM steps [G2: timestep.c PM kick machinery])
     pot: jnp.ndarray        # [N] potential
     old_acc: jnp.ndarray    # [N] |acc| of previous step (relative opening crit)
     ti_begstep: jnp.ndarray # [N] int64 tick at which current step began
@@ -150,7 +152,7 @@ def allocate(
         pos=z3, vel=z3, mass=z1,
         ptype=jnp.zeros((nm,), jnp.int32),
         pid=jnp.zeros((nm,), jnp.int32),
-        acc=z3, pot=z1, old_acc=z1,
+        acc=z3, acc_pm=z3, pot=z1, old_acc=z1,
         ti_begstep=jnp.zeros((nm,), jnp.int32),
         ti_endstep=jnp.zeros((nm,), jnp.int32),
         alive=jnp.zeros((nm,), bool),

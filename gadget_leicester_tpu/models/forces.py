@@ -78,11 +78,14 @@ def compute_forces(
     cfg: SimConfig,
     opts: SimOptions,
     do_sph: bool = True,
+    do_pm=None,
 ) -> SimState:
     """One full force computation at the current sync point.
 
-    Updates: p.acc, p.pot, gas.{density,hsml,pressure,div_vel,curl_vel,
-    dhsml_density_factor,max_signal_vel,hydro_acc,dt_entropy,num_ngb}.
+    Updates: p.acc (short-range/tree), p.acc_pm (long-range, only when
+    `do_pm` — a traced bool — is true; frozen otherwise, the PM-step
+    machinery of [G2: timestep.c]), p.pot, and the SPH gas fields.
+    do_pm=None means "always" (init / non-split callers).
     """
     p = state.p
     fac = comoving_factors(cfg, state.ti_current)
@@ -100,19 +103,23 @@ def compute_forces(
     if not opts.nogravity:
         eps = softening_table(cfg, fac.atime)
         soft = SOFTFAC * eps[p.ptype]  # force softening h = 2.8 eps
+        acc_pm = state.p.acc_pm
         if mode == "treepm":
-            acc, pot, sr_ovf = _treepm_gravity(state, cfg, opts, soft)
+            acc, pot, sr_ovf, acc_pm = _treepm_gravity(
+                state, cfg, opts, soft, do_pm)
             state = dataclasses.replace(
                 state, overflow_flags=state.overflow_flags
                 | jnp.where(sr_ovf, jnp.int32(1), jnp.int32(0)))
         elif mode == "tree":
             acc, pot = _tree_gravity(state, cfg, opts, soft)
+            acc_pm = jnp.zeros_like(acc)
         else:
             acc, pot = direct_gravity(
                 p.pos, p.mass, soft, p.alive,
                 box=cfg.box_size,
                 periodic=opts.periodic,
             )
+            acc_pm = jnp.zeros_like(acc)
         acc = acc * cfg.grav_internal
         pot = pot * cfg.grav_internal
         if cfg.comoving_integration_on and not opts.periodic:
@@ -122,12 +129,16 @@ def compute_forces(
             corr = 0.5 * cfg.omega0 * cfg.hubble_internal**2
             acc = acc + corr * p.pos
         acc = jnp.where(p.alive[:, None], acc, 0.0)
+        acc_pm = jnp.where(p.alive[:, None], acc_pm, 0.0)
     else:
         acc = jnp.zeros_like(p.acc)
+        acc_pm = jnp.zeros_like(p.acc)
         pot = jnp.zeros_like(p.pot)
 
-    old_acc = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
-    p = dataclasses.replace(p, acc=acc, pot=pot, old_acc=old_acc)
+    total = acc + acc_pm
+    old_acc = jnp.sqrt(jnp.sum(total * total, axis=-1))
+    p = dataclasses.replace(p, acc=acc, acc_pm=acc_pm, pot=pot,
+                            old_acc=old_acc)
     state = dataclasses.replace(state, p=p)
 
     # ----- SPH ----------------------------------------------------------
@@ -136,10 +147,13 @@ def compute_forces(
     return state
 
 
-def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
-    """TreePM: FFT PM long-range + cell-list erfc short-range
-    [G2: pm_periodic.c + forcetree.c shortrange]. Potential is the PM
-    potential + truncated short-range potential (diagnostics)."""
+def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
+                    soft, do_pm=None):
+    """TreePM: FFT PM long-range + cell/Pallas erfc short-range
+    [G2: pm_periodic.c + forcetree.c shortrange]. The PM part recomputes
+    only when `do_pm` (PM steps); otherwise the frozen state.p.acc_pm is
+    returned unchanged. Returns (acc_sr, pot, overflow, acc_pm) with
+    acc_pm ALREADY scaled by G (it is stored in state)."""
     from gadget_leicester_tpu.ops.gravity_short import shortrange_gravity_cells
     from gadget_leicester_tpu.ops.neighbors import build_cell_list
     from gadget_leicester_tpu.ops.pm import (ASMTH, RCUT, pm_forces_periodic,
@@ -175,9 +189,21 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
                                           asmth_len, rcut, box=box,
                                           periodic=True)
         overflow = cl.overflow
-    acc_pm, pot = pm_forces_periodic(p.pos, p.mass, p.alive, box, g,
-                                     with_potential=True)
-    return acc_sr + acc_pm, pot, overflow
+
+    def compute_pm(_):
+        a, pt = pm_forces_periodic(p.pos, p.mass, p.alive, box, g,
+                                   with_potential=True)
+        return a * cfg.grav_internal, pt
+
+    if do_pm is None:
+        acc_pm, pot = compute_pm(None)
+    else:
+        acc_pm, pot = jax.lax.cond(
+            do_pm, compute_pm,
+            lambda _: (state.p.acc_pm,
+                       state.p.pot / jnp.maximum(cfg.grav_internal, 1e-37)),
+            operand=None)
+    return acc_sr, pot, overflow, acc_pm
 
 
 def _tree_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):

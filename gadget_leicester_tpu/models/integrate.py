@@ -60,9 +60,13 @@ def drift_all(state: SimState, cfg: SimConfig, opts: SimOptions, ti_next) -> Sim
     mid = _midpoint_ti(p.ti_begstep[:ng], p.ti_endstep[:ng])
     dt_gk = cosmology.gravkick_factor(None, cfg, mid, ti_next)
     dt_hk = cosmology.hydrokick_factor(None, cfg, mid, ti_next)
+    # long-range PM prediction from the (global) PM midpoint
+    pm_mid = _midpoint_ti(state.pm_ti_begstep, state.pm_ti_endstep)
+    dt_gk_pm = cosmology.gravkick_factor(None, cfg, pm_mid, ti_next)
     vel_pred = (
         p.vel[:ng]
         + p.acc[:ng] * dt_gk[:, None]
+        + p.acc_pm[:ng] * dt_gk_pm
         + gas.hydro_acc * dt_hk[:, None]
     )
     # dt for entropy prediction runs from the START of the particle's step
@@ -110,8 +114,8 @@ def get_timesteps(state: SimState, cfg: SimConfig, opts: SimOptions):
     else:
         fac1 = fac2 = fac3 = hubble_a = 1.0
 
-    # physical acceleration magnitude
-    acc_grav = p.acc * fac1
+    # physical acceleration magnitude (short-range + frozen PM)
+    acc_grav = (p.acc + p.acc_pm) * fac1
     acc2 = jnp.sum(acc_grav * acc_grav, axis=-1)
     hyd = jnp.zeros_like(p.acc).at[:ng].set(gas.hydro_acc * fac2)
     is_gas = (p.ptype == 0)
@@ -201,6 +205,52 @@ def advance_and_find_timesteps(state: SimState, cfg: SimConfig,
     p = dataclasses.replace(p, vel=vel, ti_begstep=ti_beg, ti_endstep=ti_end)
     gas = dataclasses.replace(gas, entropy=entropy)
     return dataclasses.replace(state, p=p, gas=gas)
+
+
+def pm_step_update(state: SimState, cfg: SimConfig, opts: SimOptions,
+                   is_pm_step) -> SimState:
+    """PM-step kick + new PM interval [G2: timestep.c PM part].
+
+    At PM steps (ti_current == pm_ti_endstep) ALL particles receive the
+    long-range kick closing the old PM half-step and opening the new one;
+    the new global PM step is bounded by the rms-displacement criterion
+    dt <= MaxRMSDisplacementFac * (Box/PMGRID) / v_rms and MaxSizeTimestep.
+    Everything is masked by `is_pm_step` (traced bool) — cheap O(N) math.
+    """
+    p = state.p
+    ti_now = state.ti_current
+    fac = comoving_factors(cfg, ti_now)
+
+    # rms velocity of alive particles (internal units)
+    m = jnp.where(p.alive, p.mass, 0.0)
+    v2 = jnp.sum(p.vel * p.vel, axis=-1)
+    vrms = jnp.sqrt(jnp.sum(m * v2) / jnp.maximum(jnp.sum(m), 1e-37))
+    vrms = jnp.maximum(vrms, 1e-30)
+    dsp = cfg.max_rms_displacement_fac * cfg.box_size / max(opts.pmgrid, 1)
+    if cfg.comoving_integration_on:
+        # comoving displacement dx = vel * int dt/a^2 ~ vel * dloga/(a^2 H)
+        dt = dsp * fac.atime**2 * fac.hubble_a / vrms
+    else:
+        dt = dsp / vrms
+    dt = jnp.clip(dt, cfg.min_size_timestep, cfg.max_size_timestep)
+    ti_step_f = dt / cfg.timebase_interval
+    ti_step_f = jnp.minimum(ti_step_f, (TIMEBASE - ti_now).astype(ti_step_f.dtype))
+    ti_step = timeline.quantize_timestep(ti_step_f, ti_now)
+    ti_step = jnp.maximum(jnp.minimum(ti_step, jnp.int32(TIMEBASE) - ti_now), 1)
+
+    old_mid = _midpoint_ti(state.pm_ti_begstep, state.pm_ti_endstep)
+    new_mid = ti_now + ti_step // 2
+    dt_gk = (cosmology.gravkick_factor(None, cfg, old_mid, ti_now)
+             + cosmology.gravkick_factor(None, cfg, ti_now, new_mid))
+    vel_new = p.vel + p.acc_pm * dt_gk
+    vel = jnp.where((is_pm_step & p.alive)[:, None], vel_new, p.vel)
+    pm_beg = jnp.where(is_pm_step, ti_now, state.pm_ti_begstep)
+    pm_end = jnp.where(is_pm_step, ti_now + ti_step, state.pm_ti_endstep)
+    p = dataclasses.replace(p, vel=vel)
+    return dataclasses.replace(
+        state, p=p,
+        pm_ti_begstep=jnp.asarray(pm_beg, jnp.int32),
+        pm_ti_endstep=jnp.asarray(pm_end, jnp.int32))
 
 
 def _min_entropy(cfg: SimConfig, rho):

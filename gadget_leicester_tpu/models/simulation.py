@@ -31,17 +31,36 @@ from gadget_leicester_tpu.models.cooling import apply_cooling
 from gadget_leicester_tpu.models.sinks import accrete_onto_sinks
 
 
+def _uses_pm_split(opts: SimOptions) -> bool:
+    """Does this configuration run the two-timescale TreePM machinery?"""
+    return opts.periodic and opts.pmgrid > 0 and not opts.nogravity and \
+        opts.gravity_mode in ("auto", "treepm")
+
+
 @partial(jax.jit, static_argnames=("cfg", "opts"))
 def sync_point_step(state: SimState, cfg: SimConfig, opts: SimOptions) -> SimState:
-    """One sync-point iteration of the main loop [G2: run.c]."""
+    """One sync-point iteration of the main loop [G2: run.c].
+
+    TreePM runs PM long-range on its own global timestep
+    [G2: timestep.c PM part]: the next sync point is the earlier of the
+    particle bins' end and the PM step end; PM forces recompute only at PM
+    steps and all particles receive the PM kick there.
+    """
+    pm_split = _uses_pm_split(opts)
     ti_next = timeline.min_active_ti_end(state.p.ti_endstep, state.p.alive)
+    if pm_split:
+        ti_next = jnp.minimum(ti_next, state.pm_ti_endstep)
     state = integrate.drift_all(state, cfg, opts, ti_next)
-    state = compute_forces(state, cfg, opts)
+    is_pm_step = state.ti_current == state.pm_ti_endstep
+    state = compute_forces(state, cfg, opts,
+                           do_pm=is_pm_step if pm_split else None)
     if opts.cooling != "none":
         state = apply_cooling(state, cfg, opts)
     if opts.sinks:
         state = accrete_onto_sinks(state, cfg, opts)
     state = integrate.advance_and_find_timesteps(state, cfg, opts)
+    if pm_split:
+        state = integrate.pm_step_update(state, cfg, opts, is_pm_step)
     return state
 
 
@@ -153,33 +172,43 @@ def init_state(
             vel_pred=state.p.vel[:ng],
         )
         state = dataclasses.replace(state, gas=gas)
-
-        # first density pass to convert u -> entropy
-        state = compute_forces(state, cfg, opts, do_sph=True)
-        gas = state.gas
-        rho_safe = jnp.where(gas.density > 0, gas.density, 1.0)
-        if opts.isotherm_eqs:
-            # entropy slot stores c_s^2 = (gamma-1) u (isothermal sound speed^2)
-            a_ent = GAMMA_MINUS1 * gas.entropy
-        else:
-            a_ent = GAMMA_MINUS1 * gas.entropy / rho_safe**GAMMA_MINUS1
-        gas_mask = jnp.asarray(gas_mask_np)
-        a_ent = jnp.where(gas_mask, a_ent, 0.0)
-        gas = dataclasses.replace(gas, entropy=a_ent, entropy_pred=a_ent)
-        state = dataclasses.replace(state, gas=gas)
-        # pressure now that entropy is real entropy
-        if opts.isotherm_eqs:
-            pressure = a_ent * gas.density
-        else:
-            pressure = a_ent * gas.density**GAMMA
-        state = dataclasses.replace(
-            state, gas=dataclasses.replace(gas, pressure=pressure)
-        )
-        # recompute hydro forces with the true entropy-based pressure
-        state = compute_forces(state, cfg, opts, do_sph=True)
+        state = _init_finalize_gas(state, cfg, opts,
+                                   jnp.asarray(gas_mask_np))
     else:
-        state = compute_forces(state, cfg, opts, do_sph=False)
+        state = _init_finalize_nogas(state, cfg, opts)
     return state
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts"))
+def _init_finalize_gas(state: SimState, cfg: SimConfig, opts: SimOptions,
+                       gas_mask) -> SimState:
+    """Device part of init: first density pass, u -> entropy conversion,
+    and the full force recomputation — ONE compiled program (eager op-by-op
+    execution costs minutes over remote-dispatch transports)."""
+    state = compute_forces(state, cfg, opts, do_sph=True)
+    gas = state.gas
+    rho_safe = jnp.where(gas.density > 0, gas.density, 1.0)
+    if opts.isotherm_eqs:
+        # entropy slot stores c_s^2 = (gamma-1) u (isothermal sound speed^2)
+        a_ent = GAMMA_MINUS1 * gas.entropy
+    else:
+        a_ent = GAMMA_MINUS1 * gas.entropy / rho_safe**GAMMA_MINUS1
+    a_ent = jnp.where(gas_mask, a_ent, 0.0)
+    if opts.isotherm_eqs:
+        pressure = a_ent * gas.density
+    else:
+        pressure = a_ent * gas.density**GAMMA
+    gas = dataclasses.replace(gas, entropy=a_ent, entropy_pred=a_ent,
+                              pressure=pressure)
+    state = dataclasses.replace(state, gas=gas)
+    # recompute hydro forces with the true entropy-based pressure
+    return compute_forces(state, cfg, opts, do_sph=True)
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts"))
+def _init_finalize_nogas(state: SimState, cfg: SimConfig,
+                         opts: SimOptions) -> SimState:
+    return compute_forces(state, cfg, opts, do_sph=False)
 
 
 # ---------------------------------------------------------------------------

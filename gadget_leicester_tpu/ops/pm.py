@@ -152,6 +152,93 @@ def pm_forces_periodic(
     return acc
 
 
+# ---------------------------------------------------------------------------
+# Non-periodic (vacuum boundary) PM — rebuild of [G2: pm_nonperiodic.c]
+# ---------------------------------------------------------------------------
+def _freespace_kernel_k(n: int, cell: float, asmth_len: float, dtype):
+    """FFT of the long-range free-space Green's function on the 2n^3
+    zero-padded grid (Hockney & Eastwood convolution):
+
+        g_long(x) = -erf(|x| / (2 asmth)) / |x|      (smooth at x=0)
+
+    which is exactly the PM part of the TreePM force split — the erfc
+    short-range remainder comes from the tree/cell kernels, identical to
+    the periodic case [G2: pm_nonperiodic.c kernel setup].
+    """
+    m = 2 * n
+    # signed distances with FFT wrap ordering: 0,1,...,n-1,-n,...,-1 (cells)
+    ax = jnp.where(jnp.arange(m) < n, jnp.arange(m), jnp.arange(m) - m)
+    ax = ax.astype(dtype) * cell
+    X, Y, Z = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    r_safe = jnp.maximum(r, 1e-30)
+    g = -jax.lax.erf(r_safe / (2.0 * asmth_len)) / r_safe
+    g0 = -1.0 / (asmth_len * jnp.sqrt(jnp.pi))  # limit at r -> 0
+    g = jnp.where(r > 0, g, g0)
+    gk = jnp.fft.rfftn(g)
+    # CIC deconvolution (deposit + gather), as in the periodic Green's fn
+    # [G2: pm_nonperiodic.c ff*ff factors]
+    kf = 2.0 * jnp.pi / (m * cell)
+    kx = jnp.fft.fftfreq(m, 1.0 / m).astype(dtype) * kf
+    kz = jnp.arange(m // 2 + 1, dtype=dtype) * kf
+
+    def sinc(x):
+        x = jnp.abs(x)
+        return jnp.where(x > 1e-8, jnp.sin(x) / jnp.where(x > 1e-8, x, 1.0),
+                         1.0)
+
+    KX, KY, KZ = jnp.meshgrid(kx, kx, kz, indexing="ij")
+    w = (sinc(KX * cell / 2) * sinc(KY * cell / 2) * sinc(KZ * cell / 2)) ** 2
+    return gk / jnp.maximum(w, 1e-8) ** 2
+
+
+@partial(jax.jit, static_argnames=("n", "with_potential"))
+def pm_forces_nonperiodic(
+    pos,
+    mass,
+    alive,
+    origin,
+    extent: float,
+    n: int,
+    asmth_grid: float = ASMTH,
+    with_potential: bool = False,
+):
+    """Vacuum-boundary long-range accelerations (no G factor) via
+    zero-padded FFT convolution on a 2n^3 mesh over the region
+    [origin, origin+extent). Pair with the erfc-truncated short-range
+    force (asmth = asmth_grid * extent / n) for the full gravity.
+    """
+    f = pos.dtype
+    cell = extent / n
+    asmth_len = asmth_grid * cell
+    m = 2 * n
+    rel = pos - jnp.broadcast_to(jnp.asarray(origin, f), (3,))[None, :]
+    msrc = jnp.where(alive, mass, 0.0).astype(f)
+    # deposit into the first octant of the padded grid; CIC in region coords
+    grid = cic_deposit(jnp.clip(rel, 0.0, extent * 0.9999999),
+                       msrc, 2.0 * extent, m)
+    gk = _freespace_kernel_k(n, cell, asmth_len, f)
+    phi_k = jnp.fft.rfftn(grid) * gk
+    phi = jnp.fft.irfftn(phi_k, (m, m, m))
+    h = cell
+
+    def grad_axis(ax):
+        p1 = jnp.roll(phi, -1, ax) - jnp.roll(phi, 1, ax)
+        p2 = jnp.roll(phi, -2, ax) - jnp.roll(phi, 2, ax)
+        return -(4.0 / 3.0 * p1 / (2 * h) - 1.0 / 6.0 * p2 / (2 * h))
+
+    force = jnp.stack([grad_axis(ax) for ax in range(3)], axis=-1)
+    posw = jnp.clip(rel, 0.0, extent * 0.9999999)
+    acc = jnp.stack(
+        [cic_gather(force[..., c], posw, 2.0 * extent, m) for c in range(3)],
+        axis=-1)
+    acc = jnp.where(alive[:, None], acc, 0.0)
+    if with_potential:
+        pot = jnp.where(alive, cic_gather(phi, posw, 2.0 * extent, m), 0.0)
+        return acc, pot
+    return acc
+
+
 @partial(jax.jit, static_argnames=("n",))
 def pm_potential_periodic(pos, mass, alive, box: float, n: int,
                           asmth_grid: float = ASMTH):

@@ -43,12 +43,16 @@ def energy_statistics(state: SimState, cfg: SimConfig, opts: SimOptions) -> Ener
     ng = gas.n_gas_max
     m = jnp.where(p.alive, p.mass, 0.0)
 
-    # close velocities to the sync point (from each particle's midpoint)
+    # close velocities to the sync point (from each particle's midpoint;
+    # PM contribution from the global PM midpoint)
     mid = _midpoint_ti(p.ti_begstep, p.ti_endstep)
     dt_gk = cosmology.gravkick_factor(None, cfg, mid, state.ti_current)
     dt_hk = cosmology.hydrokick_factor(None, cfg, mid, state.ti_current)
+    pm_mid = _midpoint_ti(state.pm_ti_begstep, state.pm_ti_endstep)
+    dt_gk_pm = cosmology.gravkick_factor(None, cfg, pm_mid, state.ti_current)
     hyd = jnp.zeros_like(p.acc).at[:ng].set(gas.hydro_acc)
-    vel_sync = p.vel + p.acc * dt_gk[:, None] + hyd * dt_hk[:, None]
+    vel_sync = (p.vel + p.acc * dt_gk[:, None] + p.acc_pm * dt_gk_pm
+                + hyd * dt_hk[:, None])
 
     ke = 0.5 * jnp.sum(m * jnp.sum(vel_sync**2, axis=-1))
     pe = 0.5 * jnp.sum(m * p.pot)

@@ -23,6 +23,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1234)
+@pytest.fixture()
+def rng(request):
+    # function-scoped + per-test seed: random data is deterministic and
+    # INDEPENDENT of test execution order (a shared session stream made
+    # borderline-tolerance tests order-flaky)
+    import zlib
+    seed = zlib.crc32(request.node.nodeid.encode())  # stable across runs
+    return np.random.default_rng(seed)

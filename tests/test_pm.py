@@ -108,3 +108,34 @@ def test_pm_uniform_grid_zero_force():
     # characteristic acceleration of one neighbour at spacing d:
     char = 1.0 / (box / side) ** 2
     assert np.abs(acc).max() < 1e-3 * char
+
+
+def test_pm_nonperiodic_matches_newton(rng):
+    """Vacuum PM (zero-padded) + erfc short-range == Newton for an
+    isolated particle set [G2: pm_nonperiodic.c]."""
+    from gadget_leicester_tpu.ops.pm import pm_forces_nonperiodic
+    n, ext, g = 64, 10.0, 32
+    pos = rng.uniform(2.0, 8.0, (n, 3))   # interior of the region
+    mass = rng.uniform(0.5, 1.5, n)
+    posj = jnp.asarray(pos, jnp.float32)
+    massj = jnp.asarray(mass, jnp.float32)
+    alive = jnp.ones(n, bool)
+    soft = jnp.full(n, 1e-3, jnp.float32)
+    asmth_len = ASMTH * ext / g
+    rcut = RCUT * asmth_len
+    acc_pm = np.asarray(pm_forces_nonperiodic(posj, massj, alive, 0.0, ext, g))
+    acc_sr, _ = direct_gravity(posj, massj, soft, alive, asmth=asmth_len,
+                               rcut=rcut, periodic=False, block=64)
+    total = acc_pm + np.asarray(acc_sr)
+    # exact Newtonian oracle
+    dx = pos[:, None, :] - pos[None, :, :]
+    r = np.linalg.norm(dx, axis=-1)
+    np.fill_diagonal(r, 1.0)
+    fac = mass[None, :] / r**3
+    np.fill_diagonal(fac, 0.0)
+    exact = -(fac[:, :, None] * dx).sum(axis=1)
+    scale = np.abs(exact).max()
+    err = np.abs(total - exact).max() / scale
+    rms = np.sqrt(((total - exact) ** 2).mean()) / scale
+    assert rms < 5e-3, rms
+    assert err < 3e-2, err
