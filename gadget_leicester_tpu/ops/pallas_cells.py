@@ -45,10 +45,13 @@ def pack_cells_soa(cl: CellList, pos, mass, soft, alive):
     y = jnp.where(valid, pos[idx, 1], far)
     z = jnp.where(valid, pos[idx, 2], far)
     m = jnp.where(valid, mass[idx], 0.0)
-    s = jnp.where(valid, soft[idx], 0.0)
+    sft = jnp.where(valid, soft[idx], 0.0)
+    sft_inv = jnp.where(valid & (soft[idx] > 0), 1.0 / soft[idx], 0.0)
     v = valid.astype(pos.dtype)
     zero = jnp.zeros_like(m)
-    return jnp.stack([x, y, z, m, s, v, zero, zero], axis=1)  # [C,8,cap]
+    # row 6 = 1/soft so kernels avoid per-pair reciprocals (division is a
+    # multi-pass VPU op): h_pair = max(soft), hinv_pair = min(inv)
+    return jnp.stack([x, y, z, m, sft, v, sft_inv, zero], axis=1)
 
 
 def neighbor_table(n_cells: int, periodic: bool):
@@ -73,19 +76,37 @@ def neighbor_table(n_cells: int, periodic: bool):
             jnp.asarray(valid, jnp.int32))
 
 
-def _erfc_approx(x):
-    """erfc for x >= 0, Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7) —
-    jax.lax.erfc has no Pallas TPU lowering, so the kernel carries its own."""
-    t = 1.0 / (1.0 + 0.3275911 * x)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return poly * jnp.exp(-x * x)
+# trunc(x) = [erfc(x) + 2x/sqrt(pi) e^{-x^2}] rewritten as P7(x) * e^{-x^2}
+# (one exp, no reciprocal — divisions and double transcendentals dominate
+# the VPU cost of the truncation otherwise). Max |err| = 6.5e-5 on the
+# whole short-range domain x = r/(2 asmth) in [0, 2.25 = RCUT/2].
+_TRUNC_P7 = (0.99993474, 0.00223974, 0.98096394, -0.68216353,
+             0.36051905, -0.13132448, 0.02851446, -0.00273169)
+
+
+def _grav_fac_nodiv(r, rinv, h, hinv):
+    """grav_fac (softened 1/r^3 [G2: forcetree.c constants]) with NO
+    divisions: caller supplies rinv (rsqrt) and per-pair hinv = min of
+    per-particle inverse softenings."""
+    u = r * hinv
+    hinv3 = hinv * hinv * hinv
+    rinv3 = rinv * rinv * rinv
+    h3 = h * h * h
+    uinv3 = h3 * rinv3
+    inner = hinv3 * (10.666666666667 + u * u * (32.0 * u - 38.4))
+    outer = hinv3 * (21.333333333333 - 48.0 * u + 38.4 * u * u
+                     - 10.666666666667 * (u * u * u)
+                     - 0.066666666667 * uinv3)
+    return jnp.where(u < 0.5, inner, jnp.where(u < 1.0, outer, rinv3))
 
 
 def _shortrange_trunc_pallas(r, asmth):
     """[G2: shortrange_table] erfc-truncation, Pallas-lowerable form."""
-    x = r / (2.0 * asmth)
-    return _erfc_approx(x) + (2.0 * x / jnp.sqrt(jnp.pi)) * jnp.exp(-x * x)
+    x = r * (0.5 / asmth)
+    p = jnp.float32(_TRUNC_P7[-1])
+    for c in _TRUNC_P7[-2::-1]:
+        p = p * x + c
+    return p * jnp.exp(-x * x)
 
 
 def _decode_cell(ci, n):
@@ -129,9 +150,11 @@ def _make_kernel(box, asmth, rcut, periodic, n_cells):
             dy = dy - box * jnp.round(dy * (1.0 / box))
             dz = dz - box * jnp.round(dz * (1.0 / box))
         r2 = dx * dx + dy * dy + dz * dz
-        r = jnp.sqrt(r2)
+        rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
+        r = r2 * rinv
         h = jnp.maximum(t[4, :][:, None], s[4, :][None, :])
-        fac = grav_fac(r, h)
+        hinv = jnp.minimum(t[6, :][:, None], s[6, :][None, :])
+        fac = _grav_fac_nodiv(r, rinv, h, hinv)
         if asmth > 0.0:
             fac = fac * _shortrange_trunc_pallas(r, asmth)
         ok = (r < rcut) & (r > 0.0)
@@ -230,14 +253,10 @@ def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
             rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
             r = r2 * rinv
             hh = jnp.maximum(t[4, :][:, None], s[4, :][None, :])
-            fac = grav_fac(r, hh, rinv=rinv)
+            hhinv = jnp.minimum(t[6, :][:, None], s[6, :][None, :])
+            fac = _grav_fac_nodiv(r, rinv, hh, hhinv)
             if asmth > 0.0:
-                # (erfc_poly + 2x/sqrt(pi)) * exp(-x^2) — one exp per pair
-                x = r * (0.5 / asmth)
-                tt = 1.0 / (1.0 + 0.3275911 * x)
-                poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
-                    1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
-                fac = fac * ((poly + 1.1283791671 * x) * jnp.exp(-x * x))
+                fac = fac * _shortrange_trunc_pallas(r, asmth)
             ok = (r2 < rcut * rcut) & (r2 > 0.0) & (s[5, :][None, :] > 0.0)
             if not periodic:
                 _, valid = _nbr_cid_traced(c, j, n_cells, periodic)
@@ -320,6 +339,9 @@ def pack_sph_soa(cl: CellList, pos, vel, mass, hsml, gas_mask):
 
 
 def _pair_geometry(t, s, box, periodic):
+    """Returns (dx, dy, dz, r, rinv) — rinv via rsqrt (no division);
+    rinv is large-but-finite at r=0 and every user multiplies it by a
+    factor that is exactly 0 there."""
     dx = t[0, :][:, None] - s[0, :][None, :]
     dy = t[1, :][:, None] - s[1, :][None, :]
     dz = t[2, :][:, None] - s[2, :][None, :]
@@ -328,7 +350,8 @@ def _pair_geometry(t, s, box, periodic):
         dy = dy - box * jnp.round(dy * (1.0 / box))
         dz = dz - box * jnp.round(dz * (1.0 / box))
     r2 = dx * dx + dy * dy + dz * dz
-    return dx, dy, dz, jnp.sqrt(r2)
+    rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
+    return dx, dy, dz, r2 * rinv, rinv
 
 
 def _make_density_kernel(box, periodic, n_cells):
@@ -355,15 +378,14 @@ def _make_density_kernel(box, periodic, n_cells):
 
         t = tgt_ref[0]
         s = src_ref[0]
-        dx, dy, dz, r = _pair_geometry(t, s, box, periodic)
+        dx, dy, dz, r, rinv = _pair_geometry(t, s, box, periodic)
         ht = h_ref[0, 0, :][:, None]
         w, dwdh = kernel_w_and_dwdh(r, ht)
         dwdr = kernel_dw_dr(r, ht)
         m = s[3, :][None, :] * vnb
         rho = jnp.sum(m * w, axis=1)
         drhodh = jnp.sum(m * dwdh, axis=1)
-        rinv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-37), 0.0)
-        fac = m * dwdr * rinv
+        fac = m * dwdr * rinv  # dwdr(r=0) == 0 exactly; rinv finite
         dvx = t[4, :][:, None] - s[4, :][None, :]
         dvy = t[5, :][:, None] - s[5, :][None, :]
         dvz = t[6, :][:, None] - s[6, :][None, :]
@@ -447,12 +469,11 @@ def _make_hydro_kernel(box, periodic, n_cells, visc_const):
 
         ta, tb = tgt_a[0], tgt_b[0]
         sa, sb = src_a[0], src_b[0]
-        dx, dy, dz, r = _pair_geometry(ta, sa, box, periodic)
+        dx, dy, dz, r, rinv = _pair_geometry(ta, sa, box, periodic)
         ht = ta[7, :][:, None]
         hs = sa[7, :][None, :]
         inside = (r < jnp.maximum(ht, hs)) & (r > 0.0)
         inside = inside & (sb[4, :][None, :] > 0.0)   # src valid row
-        rinv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-37), 0.0)
         dwk_i = kernel_dw_dr(r, ht)
         dwk_j = kernel_dw_dr(r, hs)
         dvx = ta[4, :][:, None] - sa[4, :][None, :]
@@ -465,10 +486,12 @@ def _make_hydro_kernel(box, periodic, n_cells, visc_const):
         vsig = tb[2, :][:, None] + sb[2, :][None, :] \
             - 3.0 * jnp.where(approaching, mu_ij, 0.0)
         rho_ij = 0.5 * (tb[0, :][:, None] + sb[0, :][None, :])
-        rho_ij = jnp.where(rho_ij > 0, rho_ij, 1.0)
+        rs = jax.lax.rsqrt(jnp.maximum(rho_ij, 1e-37))
+        rho_ij_inv = rs * rs              # 1/x without a division
         f_ij = 0.5 * (tb[3, :][:, None] + sb[3, :][None, :])
         visc = jnp.where(approaching,
-                         visc_const * vsig * (-mu_ij) / rho_ij * f_ij, 0.0)
+                         visc_const * vsig * (-mu_ij) * rho_ij_inv * f_ij,
+                         0.0)
         m = sa[3, :][None, :]
         hfc_visc = 0.5 * m * visc * (dwk_i + dwk_j) * rinv
         hfc = hfc_visc + m * (tb[1, :][:, None] * dwk_i
