@@ -25,7 +25,6 @@ A fast C++ codec for the hot encode/decode path lives in
 
 from __future__ import annotations
 
-import dataclasses
 import struct
 from dataclasses import dataclass, field
 from typing import Dict, Optional

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from gadget_leicester_tpu.core.config import GAMMA, SimConfig, SimOptions
 from gadget_leicester_tpu.core.cosmology import hubble_function
 from gadget_leicester_tpu.core.state import SimState
-from gadget_leicester_tpu.core import timeline
 from gadget_leicester_tpu.ops.gravity_direct import direct_gravity
 from gadget_leicester_tpu.ops.sph_dense import density_adaptive, hydro_force
 from gadget_leicester_tpu.ops.softening import SOFTFAC
@@ -156,8 +155,7 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
     acc_pm ALREADY scaled by G (it is stored in state)."""
     from gadget_leicester_tpu.ops.gravity_short import shortrange_gravity_cells
     from gadget_leicester_tpu.ops.neighbors import build_cell_list
-    from gadget_leicester_tpu.ops.pm import (ASMTH, RCUT, pm_forces_periodic,
-                                             pm_potential_periodic)
+    from gadget_leicester_tpu.ops.pm import ASMTH, RCUT, pm_forces_periodic
 
     p = state.p
     box = cfg.box_size

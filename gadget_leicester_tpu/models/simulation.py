@@ -26,7 +26,7 @@ from gadget_leicester_tpu.core.config import (GAMMA, GAMMA_MINUS1, TIMEBASE,
 from gadget_leicester_tpu.core import timeline
 from gadget_leicester_tpu.core.state import SimState, from_arrays
 from gadget_leicester_tpu.models import integrate
-from gadget_leicester_tpu.models.forces import compute_forces, comoving_factors
+from gadget_leicester_tpu.models.forces import compute_forces
 from gadget_leicester_tpu.models.cooling import apply_cooling
 from gadget_leicester_tpu.models.sinks import accrete_onto_sinks
 

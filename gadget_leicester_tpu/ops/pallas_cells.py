@@ -203,8 +203,6 @@ def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
                 = -tx_i * rowsum(w) + (w @ s_pos)_i
       — one [cap,cap]x[cap,3] matmul replaces 6 full-tile VPU ops.
     """
-    from gadget_leicester_tpu.ops.softening import grav_fac
-
     def kernel(tgt_ref, src_hbm, out_ref, buf, sems):
         c = pl.program_id(0)
         t = tgt_ref[0]
@@ -405,6 +403,112 @@ def _make_density_kernel(box, periodic, n_cells):
     return kernel
 
 
+def _make_density_kernel_dma(box, periodic, n_cells, cap):
+    """Density sweep, DMA-streamed: one grid step per target cell, stencil
+    sources double-buffered, per-tile wrap shift, accumulators carried in
+    registers (single output write)."""
+    from gadget_leicester_tpu.ops.sph_kernels import (kernel_dw_dr,
+                                                      kernel_w_and_dwdh)
+
+    def kernel(tgt_ref, h_ref, src_hbm, out_ref, buf, sems):
+        c = pl.program_id(0)
+        t = tgt_ref[0]
+        ht = h_ref[0, 0, :][:, None]
+        n = n_cells
+        ccx = c // (n * n)
+        crem = c % (n * n)
+        ccy, ccz = crem // n, crem % n
+
+        def dma(j, slot):
+            cid, _ = _nbr_cid_traced(c, j, n_cells, periodic)
+            return pltpu.make_async_copy(src_hbm.at[cid], buf.at[slot],
+                                         sems.at[slot])
+
+        dma(0, 0).start()
+
+        def body(j, acc):
+            rho, drhodh, divv, rx, ry, rz = acc
+            slot = jax.lax.rem(j, 2)
+            nxt = jax.lax.rem(j + 1, 2)
+
+            @pl.when(j + 1 < 27)
+            def _():
+                dma(j + 1, nxt).start()
+
+            dma(j, slot).wait()
+            s = buf[slot]
+            ox, oy, oz = j // 9 - 1, (j // 3) % 3 - 1, j % 3 - 1
+            if periodic:
+                shx = (jnp.where(ccx + ox < 0, -box, 0.0)
+                       + jnp.where(ccx + ox >= n, box, 0.0))
+                shy = (jnp.where(ccy + oy < 0, -box, 0.0)
+                       + jnp.where(ccy + oy >= n, box, 0.0))
+                shz = (jnp.where(ccz + oz < 0, -box, 0.0)
+                       + jnp.where(ccz + oz >= n, box, 0.0))
+                vnb = jnp.float32(1.0)
+            else:
+                shx = shy = shz = jnp.float32(0.0)
+                inb = ((ccx + ox >= 0) & (ccx + ox < n)
+                       & (ccy + oy >= 0) & (ccy + oy < n)
+                       & (ccz + oz >= 0) & (ccz + oz < n))
+                vnb = inb.astype(jnp.float32)
+            dx = t[0, :][:, None] - (s[0, :] + shx)[None, :]
+            dy = t[1, :][:, None] - (s[1, :] + shy)[None, :]
+            dz = t[2, :][:, None] - (s[2, :] + shz)[None, :]
+            r2 = dx * dx + dy * dy + dz * dz
+            rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
+            r = r2 * rinv
+            w, dwdh = kernel_w_and_dwdh(r, ht)
+            dwdr = kernel_dw_dr(r, ht)
+            m = s[3, :][None, :] * vnb
+            fac = m * dwdr * rinv
+            dvx = t[4, :][:, None] - s[4, :][None, :]
+            dvy = t[5, :][:, None] - s[5, :][None, :]
+            dvz = t[6, :][:, None] - s[6, :][None, :]
+            vdotr = dvx * dx + dvy * dy + dvz * dz
+            return (rho + jnp.sum(m * w, axis=1),
+                    drhodh + jnp.sum(m * dwdh, axis=1),
+                    divv - jnp.sum(fac * vdotr, axis=1),
+                    rx + jnp.sum(fac * (dvy * dz - dvz * dy), axis=1),
+                    ry + jnp.sum(fac * (dvz * dx - dvx * dz), axis=1),
+                    rz + jnp.sum(fac * (dvx * dy - dvy * dx), axis=1))
+
+        z = jnp.zeros((cap,), jnp.float32)
+        rho, drhodh, divv, rx, ry, rz = jax.lax.fori_loop(
+            0, 27, body, (z, z, z, z, z, z))
+        out_ref[0, 0, :] = rho
+        out_ref[0, 1, :] = drhodh
+        out_ref[0, 2, :] = divv
+        out_ref[0, 3, :] = rx
+        out_ref[0, 4, :] = ry
+        out_ref[0, 5, :] = rz
+        out_ref[0, 6:, :] = jnp.zeros((2, cap), jnp.float32)
+
+    return kernel
+
+
+def density_sums_pallas_dma(cl: CellList, soa, h_slots, box: float,
+                            n_cells: int):
+    """DMA-streamed density sweep (TPU only; same outputs as
+    density_sums_pallas)."""
+    c, _, cap = soa.shape
+    return pl.pallas_call(
+        _make_density_kernel_dma(float(box), cl.periodic, n_cells, cap),
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, 8, cap), lambda ci: (ci, 0, 0)),
+            pl.BlockSpec((1, 1, cap), lambda ci: (ci, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 8, cap), lambda ci: (ci, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, 8, cap), soa.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, cap), soa.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(soa, h_slots.reshape(c, 1, cap), soa)
+
+
 def density_sums_pallas(cl: CellList, soa, h_slots, box: float,
                         n_cells: int, interpret: bool = False):
     """Per-cell density sweep: returns [C, 8, cap] rows rho, drho_dh,
@@ -587,8 +691,13 @@ def density_adaptive_pallas(
     h0_slots = jnp.where(valid, hsml0[idx], 1.0).reshape(-1)
 
     def sweep(h_slots):
-        out = density_sums_pallas(cl, base_soa, h_slots.reshape(c, cap),
-                                  box, n_cells, interpret=interpret)
+        if interpret:
+            out = density_sums_pallas(cl, base_soa, h_slots.reshape(c, cap),
+                                      box, n_cells, interpret=True)
+        else:
+            out = density_sums_pallas_dma(cl, base_soa,
+                                          h_slots.reshape(c, cap),
+                                          box, n_cells)
         rho = out[:, 0, :].reshape(-1)
         drhodh = out[:, 1, :].reshape(-1)
         divv = out[:, 2, :].reshape(-1)

@@ -20,11 +20,9 @@ O(volume) all-gathers for the same computation.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gadget_leicester_tpu.parallel.mesh import AXIS
 
@@ -53,8 +51,7 @@ def make_halo_shortrange(mesh: Mesh, box: float, rcut: float, asmth: float,
     n_shards = mesh.shape[AXIS]
     slab_w = box / n_shards
 
-    from gadget_leicester_tpu.ops.gravity_direct import (direct_gravity,
-                                                         shortrange_trunc)
+    from gadget_leicester_tpu.ops.gravity_direct import shortrange_trunc
     from gadget_leicester_tpu.ops.softening import grav_fac
 
     def local_fn(pos, mass, soft, alive):
