@@ -249,21 +249,24 @@ def read_snapshot(path: str) -> SnapshotData:
                 snap.mass[o:o + nt] = header.mass[t]
             o += nt
 
-        # optional gas blocks in order: U, RHO, HSML (+ whatever follows)
-        opt_order = ["U", "RHO", "HSML"]
+        # optional blocks in order: U, RHO, HSML (gas-sized), POT (all);
+        # gas blocks are absent entirely when the file has no gas
+        opt_order = (["U", "RHO", "HSML"] if ngas else []) + ["POT"]
         for name in opt_order:
             try:
                 lab = next_block(name)
             except EOFError:
                 break
-            try:
-                data = read_f32(ngas)
-            except (EOFError, IOError):
-                break
             if fmt == 2 and lab is not None:
                 name = lab.strip()
-            setattr(snap, {"U": "u", "RHO": "rho", "HSML": "hsml"}.get(name, "u"),
-                    data)
+            count = n if name == "POT" else ngas
+            try:
+                data = read_f32(count)
+            except (EOFError, IOError):
+                break
+            setattr(snap,
+                    {"U": "u", "RHO": "rho", "HSML": "hsml",
+                     "POT": "pot"}.get(name, "u"), data)
         return snap
 
 
@@ -318,6 +321,9 @@ def write_snapshot(path: str, snap: SnapshotData, fmt: int = 1,
                     continue
                 write_block(fh, name, np.asarray(arr[:ngas], np.float32)
                             .astype(endian + "f4").tobytes())
+        if snap.pot is not None:  # [G2: OUTPUTPOTENTIAL block, all types]
+            write_block(fh, "POT ", np.asarray(snap.pot, np.float32)
+                        .astype(endian + "f4").tobytes())
 
 
 # ---------------------------------------------------------------------------

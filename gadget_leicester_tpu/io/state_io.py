@@ -20,7 +20,8 @@ from gadget_leicester_tpu.io.snapshot import Header, SnapshotData
 
 
 def snapshot_from_state(state: SimState, cfg: SimConfig,
-                        opts: SimOptions) -> SnapshotData:
+                        opts: SimOptions,
+                        with_potential: bool = False) -> SnapshotData:
     """Host-side export of the live state as a GADGET snapshot
     [G2: io.c :: savepositions()/fill_write_buffer()]."""
     alive = np.asarray(state.p.alive)
@@ -67,11 +68,13 @@ def snapshot_from_state(state: SimState, cfg: SimConfig,
         rho = dens.astype(np.float32)
         hsml = np.asarray(state.gas.hsml)[gidx].astype(np.float32)
 
+    pot = (np.asarray(state.p.pot)[idx].astype(np.float32)
+           if with_potential else None)
     return SnapshotData(
         header=h,
         pos=pos.astype(np.float32), vel=vel.astype(np.float32),
         ids=ids, mass=mass.astype(np.float32),
-        u=u, rho=rho, hsml=hsml,
+        u=u, rho=rho, hsml=hsml, pot=pot,
     )
 
 

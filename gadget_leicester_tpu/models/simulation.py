@@ -319,6 +319,16 @@ class Simulation:
             if int(self.state.ti_current) >= TIMEBASE:
                 break
             if _time.time() - wall0 > limit:
+                # planned self-resubmission before the queue kills us
+                # [G2: run.c TimeLimitCPU + ResubmitOn/ResubmitCommand]
+                save_restart(
+                    os.path.join(cfg.output_dir,
+                                 cfg.restart_file or "restart"),
+                    self.state, step_count=self.step_count,
+                    extra_meta={"snapshot_count": self.snapshot_count})
+                if cfg.resubmit_on and cfg.resubmit_command:
+                    import subprocess
+                    subprocess.Popen(cfg.resubmit_command, shell=True)
                 break
             t_before = self.time
             t0 = _time.time()

@@ -107,3 +107,26 @@ def test_header_mass_table_roundtrip(tmp_path, rng):
     assert len(raw) == expected
     back = read_snapshot(path)
     np.testing.assert_allclose(back.mass, 0.5)
+
+
+def test_pot_block_roundtrip(tmp_path, rng):
+    """Optional POT block [G2: OUTPUTPOTENTIAL] round-trips, both formats."""
+    snap = _mk_snap(rng)
+    n = int(snap.header.npart.sum())
+    snap.pot = rng.normal(size=n).astype(np.float32)
+    for fmt in (1, 2):
+        path = str(tmp_path / f"snap_pot{fmt}")
+        write_snapshot(path, snap, fmt=fmt)
+        back = read_snapshot(path)
+        np.testing.assert_array_equal(back.pot, snap.pot)
+        np.testing.assert_array_equal(back.hsml, snap.hsml)
+
+
+def test_pot_block_collisionless(tmp_path, rng):
+    snap = _mk_snap(rng, ngas=0, nhalo=9)
+    snap.u = snap.rho = snap.hsml = None
+    snap.pot = rng.normal(size=9).astype(np.float32)
+    path = str(tmp_path / "snap_dm_pot")
+    write_snapshot(path, snap, fmt=1)
+    back = read_snapshot(path)
+    np.testing.assert_array_equal(back.pot, snap.pot)
