@@ -64,11 +64,22 @@ MinGasHsmlFractional 0.1
     # pmgrid ~ 1.55*n_side puts the short-range cell occupancy near 100
     # for two species with cap-128 tiles (ncells = floor(pmgrid/5.625),
     # occ = 2 n_side^3/ncells^3); the floor matters — verify occ <= ~110
+    def smooth(m):  # next 5-smooth even size (fast FFT factorisation)
+        while True:
+            k = m
+            for p in (2, 3, 5):
+                while k % p == 0:
+                    k //= p
+            if k == 1 and m % 2 == 0:
+                return m
+            m += 2
+
     pmgrid = int(os.environ.get("BENCH_PMGRID", "0"))
     if pmgrid == 0:
         pmgrid = max(16, int(n_side * 1.55 + 1) // 2 * 2)
         while int(pmgrid / 5.625) ** 3 * 110 < 2 * n_side**3:
             pmgrid += 2
+        pmgrid = smooth(pmgrid)
     opts = SimOptions(periodic=True, pmgrid=pmgrid, gravity_mode="treepm",
                       sph_backend="cells")
     sim = Simulation(cfg, opts)

@@ -23,6 +23,9 @@ def main(argv=None):
                     choices=["none", "beta", "stamatellos"])
     ap.add_argument("--sinks", action="store_true")
     ap.add_argument("--isothermal", action="store_true")
+    ap.add_argument("--makeglass", type=int, default=0, metavar="NSIDE",
+                    help="MAKEGLASS mode: generate an NSIDE^3 glass file "
+                         "into OutputDir and exit [G2: -DMAKEGLASS]")
     args = ap.parse_args(argv)
 
     from gadget_leicester_tpu.core.config import (SimOptions,
@@ -30,6 +33,30 @@ def main(argv=None):
     from gadget_leicester_tpu.models.simulation import Simulation
 
     cfg = read_parameter_file(args.paramfile)
+    if args.makeglass:
+        import numpy as np
+        from gadget_leicester_tpu.io.snapshot import (Header, SnapshotData,
+                                                      write_snapshot)
+        from gadget_leicester_tpu.models.glass import make_glass
+        import os as _os
+        box = cfg.box_size or 1.0
+        pos, amax = make_glass(args.makeglass, box=box)
+        n = len(pos)
+        h = Header()
+        h.npart = np.array([0, n, 0, 0, 0, 0], np.uint32)
+        h.npart_total = h.npart.copy()
+        h.box_size = box
+        h.mass[1] = 1.0 / n
+        snap = SnapshotData(header=h, pos=pos.astype(np.float32),
+                            vel=np.zeros((n, 3), np.float32),
+                            ids=np.arange(1, n + 1, dtype=np.uint32),
+                            mass=np.full(n, 1.0 / n, np.float32))
+        _os.makedirs(cfg.output_dir, exist_ok=True)
+        out = _os.path.join(cfg.output_dir, "glass.dat")
+        write_snapshot(out, snap, fmt=cfg.snap_format)
+        print(f"glass written: {out} (N={n}, residual force ratio "
+              f"{float(amax[-1] / amax[0]):.3f})")
+        return 0
     opts = SimOptions(
         periodic=bool(cfg.periodic_boundaries_on),
         pmgrid=args.pmgrid,

@@ -74,6 +74,7 @@ class SimOptions:
     direct_threshold: int = 8192         # N below which direct gravity wins
     use_pallas: str = "auto"             # "auto"|"on"|"off" — Pallas kernels
                                          # ("auto": on for TPU backends)
+    output_potential: bool = False       # -DOUTPUTPOTENTIAL: POT snapshot block
 
     def replace(self, **kw) -> "SimOptions":
         return dataclasses.replace(self, **kw)

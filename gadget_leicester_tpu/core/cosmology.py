@@ -137,28 +137,33 @@ def init_drift_tables(cfg: SimConfig) -> DriftTables:
 # In physical (non-comoving) runs all three factors are simply dt
 # [G2: predict.c / timestep.c branch on All.ComovingIntegrationOn].
 # ---------------------------------------------------------------------------
-_GL_X = np.array(  # 8-point Gauss-Legendre nodes on [0, 1]
-    [0.01985507, 0.10166676, 0.2372338, 0.40828268,
-     0.59171732, 0.7627662, 0.89833324, 0.98014493])
-_GL_W = np.array(
-    [0.05061427, 0.11119052, 0.15685332, 0.18134189,
-     0.18134189, 0.15685332, 0.11119052, 0.05061427])
+# 8-point Gauss-Legendre nodes/weights on [0, 1], kept as PYTHON floats:
+# array-shaped trace constants get hoisted as executable parameters, which
+# this environment's pjit fast path then fails to re-supply on cached
+# calls ("Execution supplied N buffers but compiled program expected M") —
+# scalar constants inline into the HLO and avoid the bug entirely.
+_GL = (
+    (0.01985507, 0.05061427), (0.10166676, 0.11119052),
+    (0.23723380, 0.15685332), (0.40828268, 0.18134189),
+    (0.59171732, 0.18134189), (0.76276620, 0.15685332),
+    (0.89833324, 0.11119052), (0.98014493, 0.05061427),
+)
 
 
 def _interval_quad(cfg: SimConfig, ti0, ti1, power: float):
     """int_{a0}^{a1} da / (H(a) a^power) over the tick interval, via GL8
-    in loga:  int f(a) dloga with f = 1/(H(a) a^{power-1})."""
+    in loga:  int f(a) dloga with f = 1/(H(a) a^{power-1}). Unrolled over
+    scalar nodes (see _GL note)."""
     ti0, ti1 = jnp.broadcast_arrays(jnp.asarray(ti0), jnp.asarray(ti1))
     la0 = np.log(cfg.time_begin) + ti0 * cfg.timebase_interval
     dla = (ti1 - ti0) * cfg.timebase_interval
-    shape = jnp.shape(la0)
-    x = jnp.asarray(_GL_X, jnp.result_type(float)).reshape((-1,) + (1,) * len(shape))
-    w = jnp.asarray(_GL_W, jnp.result_type(float)).reshape((-1,) + (1,) * len(shape))
-    la = la0[None] + dla[None] * x
-    a = jnp.exp(la)
-    f = 1.0 / (hubble_function(a, cfg.omega0, cfg.omega_lambda, cfg.hubble_internal)
-               * a ** (power - 1.0))
-    return dla * jnp.sum(w * f, axis=0)
+    total = 0.0
+    for x, w in _GL:
+        a = jnp.exp(la0 + dla * x)
+        f = 1.0 / (hubble_function(a, cfg.omega0, cfg.omega_lambda,
+                                   cfg.hubble_internal) * a ** (power - 1.0))
+        total = total + w * f
+    return dla * total
 
 
 def drift_factor(tables: DriftTables, cfg: SimConfig, ti0, ti1):

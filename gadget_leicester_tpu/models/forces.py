@@ -55,13 +55,19 @@ def softening_table(cfg: SimConfig, atime: float | jnp.ndarray = 1.0):
     """Per-type Plummer softening, with comoving->physical capping
     [G2: gravtree.c :: set_softenings()]: in comoving runs the physical
     softening eps_phys = a * eps_com is capped at SofteningMaxPhys, i.e.
-    the comoving table entry becomes min(eps_com, maxphys/a)."""
-    eps = jnp.asarray(cfg.softenings)
-    if cfg.comoving_integration_on:
-        maxphys = jnp.asarray(cfg.softenings_max_phys)
-        capped = jnp.where(maxphys > 0, jnp.minimum(eps, maxphys / atime), eps)
-        return capped
-    return eps
+    the comoving table entry becomes min(eps_com, maxphys/a).
+
+    Built by stacking SCALAR entries (python-level branch on maxphys>0):
+    (6,)-shaped closure constants get hoisted as executable parameters,
+    which this environment's pjit fast path fails to re-supply on cached
+    calls — scalars inline into the HLO (see core/cosmology._GL note)."""
+    vals = []
+    for e, mp in zip(cfg.softenings, cfg.softenings_max_phys):
+        if cfg.comoving_integration_on and mp > 0:
+            vals.append(jnp.minimum(jnp.float32(e), mp / atime))
+        else:
+            vals.append(jnp.float32(e) * jnp.ones(()))
+    return jnp.stack([jnp.asarray(v, jnp.float32).reshape(()) for v in vals])
 
 
 def gather_gas(state: SimState):
@@ -102,6 +108,13 @@ def compute_forces(
     if not opts.nogravity:
         eps = softening_table(cfg, fac.atime)
         soft = SOFTFAC * eps[p.ptype]  # force softening h = 2.8 eps
+        if opts.adaptive_gravsoft_forgas and state.gas.n_gas_max > 1:
+            # gas gravitational softening follows the SPH smoothing length
+            # [G2: ADAPTIVE_GRAVSOFT_FORGAS]
+            ng_ = state.gas.n_gas_max
+            gas_soft = jnp.maximum(state.gas.hsml, SOFTFAC * eps[0])
+            soft = soft.at[:ng_].set(
+                jnp.where(p.ptype[:ng_] == 0, gas_soft, soft[:ng_]))
         acc_pm = state.p.acc_pm
         if mode == "treepm":
             acc, pot, sr_ovf, acc_pm = _treepm_gravity(

@@ -359,7 +359,9 @@ class Simulation:
                 due = (t_now >= self.next_snapshot_time
                        and cfg.time_bet_snapshot > 0)
             if due:
-                snap = snapshot_from_state(self.state, cfg, opts)
+                snap = snapshot_from_state(
+                    self.state, cfg, opts,
+                    with_potential=opts.output_potential)
                 base = os.path.join(
                     cfg.output_dir,
                     f"{cfg.snapshot_file_base}_{self.snapshot_count:03d}")

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from gadget_leicester_tpu.ops.jit_util import hybrid_jit
+
 import jax
 import jax.numpy as jnp
 
@@ -25,7 +27,7 @@ def _min_image(dx, box):
     return dx - box * jnp.round(dx / box)
 
 
-@partial(jax.jit, static_argnames=("block", "periodic"))
+@partial(hybrid_jit, static_argnames=("block", "periodic"))
 def shortrange_gravity_cells(
     cl: CellList,
     pos,

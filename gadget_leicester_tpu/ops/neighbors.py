@@ -23,6 +23,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import partial
 
+from gadget_leicester_tpu.ops.jit_util import hybrid_jit
+
 import jax
 import jax.numpy as jnp
 
@@ -50,7 +52,7 @@ def _flat_cell_id(coords, n_cells):
     return (coords[..., 0] * n_cells + coords[..., 1]) * n_cells + coords[..., 2]
 
 
-@partial(jax.jit, static_argnames=("n_cells", "capacity", "periodic"))
+@partial(hybrid_jit, static_argnames=("n_cells", "capacity", "periodic"))
 def build_cell_list(
     pos,
     mask,

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from gadget_leicester_tpu.ops.jit_util import hybrid_jit
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -277,7 +279,7 @@ def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("box", "n_cells", "capacity", "periodic",
+@partial(hybrid_jit, static_argnames=("box", "n_cells", "capacity", "periodic",
                                    "asmth", "rcut"))
 def shortrange_gravity_pallas_dma(
     pos, mass, soft, alive, box: float, n_cells: int, capacity: int = 128,
@@ -783,7 +785,7 @@ def scatter_cell_rows(cl: CellList, out, n_particles: int, rows):
     return results
 
 
-@partial(jax.jit, static_argnames=("box", "n_cells", "capacity", "periodic",
+@partial(hybrid_jit, static_argnames=("box", "n_cells", "capacity", "periodic",
                                    "asmth", "rcut", "interpret"))
 def shortrange_gravity_pallas(
     pos,

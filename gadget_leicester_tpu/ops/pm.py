@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from gadget_leicester_tpu.ops.jit_util import hybrid_jit
+
 import jax
 import jax.numpy as jnp
 
@@ -109,7 +111,7 @@ def greens_function(n: int, box: float, asmth_grid: float, dtype=jnp.float32):
     return jnp.where(k2 > 0, g, 0.0)
 
 
-@partial(jax.jit, static_argnames=("n", "gradient", "with_potential"))
+@partial(hybrid_jit, static_argnames=("n", "gradient", "with_potential"))
 def pm_forces_periodic(
     pos,
     mass,
@@ -208,7 +210,7 @@ def _freespace_kernel_k(n: int, cell: float, asmth_len: float, dtype):
     return gk / jnp.maximum(w, 1e-8) ** 2
 
 
-@partial(jax.jit, static_argnames=("n", "with_potential"))
+@partial(hybrid_jit, static_argnames=("n", "with_potential"))
 def pm_forces_nonperiodic(
     pos,
     mass,
@@ -257,7 +259,7 @@ def pm_forces_nonperiodic(
     return acc
 
 
-@partial(jax.jit, static_argnames=("n",))
+@partial(hybrid_jit, static_argnames=("n",))
 def pm_potential_periodic(pos, mass, alive, box: float, n: int,
                           asmth_grid: float = ASMTH):
     """Long-range potential at particle positions (no G factor) — for

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from gadget_leicester_tpu.ops.jit_util import hybrid_jit
+
 import jax
 import jax.numpy as jnp
 
@@ -31,7 +33,7 @@ def _min_image(dx, box):
     return dx - box * jnp.round(dx / box)
 
 
-@partial(jax.jit, static_argnames=("block", "periodic"))
+@partial(hybrid_jit, static_argnames=("block", "periodic"))
 def density_sums_cells(
     cl: CellList, pos, vel, mass, hsml, gas_mask,
     box=0.0, block: int = 256, periodic: bool = False,
@@ -80,7 +82,7 @@ def density_adaptive_cells(
         min_hsml=min_hsml, max_hsml=max_hsml, max_iters=max_iters)
 
 
-@partial(jax.jit, static_argnames=("block", "periodic"))
+@partial(hybrid_jit, static_argnames=("block", "periodic"))
 def hydro_force_cells(
     cl: CellList, pos, vel, mass, hsml, rho, pressure, dhsml_factor,
     div_vel, curl_vel, gas_mask, visc_const: float,

@@ -18,6 +18,8 @@ pass atime=1, hubble_a=1 for physical integration.
 from __future__ import annotations
 
 from functools import partial
+
+from gadget_leicester_tpu.ops.jit_util import hybrid_jit
 from typing import NamedTuple
 
 import jax
@@ -43,7 +45,7 @@ class DensityResult(NamedTuple):
     iters: jnp.ndarray          # int32 — while_loop trips used
 
 
-@partial(jax.jit, static_argnames=("block", "periodic"))
+@partial(hybrid_jit, static_argnames=("block", "periodic"))
 def density_sums(pos, vel, mass, hsml, gas_mask, box=0.0, block=512, periodic=False):
     """One density sweep: rho, drho/dh, raw div/rot sums for every gas slot.
 
@@ -221,7 +223,7 @@ class HydroResult(NamedTuple):
     max_signal_vel: jnp.ndarray # [Ng]
 
 
-@partial(jax.jit, static_argnames=("block", "periodic"))
+@partial(hybrid_jit, static_argnames=("block", "periodic"))
 def hydro_force(
     pos,
     vel,            # predicted velocities at current time [G2: VelPred]

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+
+from gadget_leicester_tpu.ops.jit_util import hybrid_jit
 from typing import Tuple
 
 import jax
@@ -43,7 +45,11 @@ import jax.numpy as jnp
 
 from gadget_leicester_tpu.ops.softening import grav_fac, grav_pot
 
-BIGKEY = jnp.int32(2**30)  # sentinel beyond any valid 30-bit key
+# sentinel beyond any valid 30-bit key — a PYTHON int: a module-level
+# jnp scalar is a concrete device Array that gets captured and hoisted as
+# an executable parameter, which this environment's pjit fast path fails
+# to re-supply on cached calls (see core/cosmology._GL note)
+BIGKEY = 2**30
 
 
 def _part1by2(x):
@@ -207,7 +213,7 @@ def _eval_monopole(tpos, tsoft, node_com, node_mass, node_soft, valid,
     return acc, pot
 
 
-@partial(jax.jit, static_argnames=("depth", "block", "frontier_cap",
+@partial(hybrid_jit, static_argnames=("depth", "block", "frontier_cap",
                                    "bucket_cap", "opening", "periodic",
                                    "box", "ewald_res"))
 def tree_gravity(

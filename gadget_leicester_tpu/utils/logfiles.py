@@ -95,3 +95,17 @@ class StepTimer:
             self.buckets[self._name] = (
                 self.buckets.get(self._name, 0.0) + time.time() - self._t0)
             self._name = None
+
+
+def profile_steps(sim, n_steps: int = 3, trace_dir: str = "/tmp/gadget_trace"):
+    """Capture a jax.profiler trace of n sync-point steps — the deep
+    replacement for the reference's cpu.txt wall-clock buckets
+    [SURVEY.md §5: "jax.profiler traces for free"]. View with
+    tensorboard/xprof pointing at `trace_dir`."""
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        for _ in range(n_steps):
+            sim.step()
+        jax.block_until_ready(sim.state.p.pos)
+    return trace_dir
