@@ -29,11 +29,11 @@ def test_galaxy_collision_tree_energy():
     cfg = _cfg(SofteningDisk=0.05, TimeMax=3.0)
     opts = SimOptions(gravity_mode="tree")
     sim = Simulation(cfg, opts)
-    pos, vel, mass, ptype, _ = galaxy_collision_ics(n_each=600, sep=4.0,
+    pos, vel, mass, ptype, _ = galaxy_collision_ics(n_each=400, sep=4.0,
                                                     vrel=0.5)
     sim.set_ics(pos, vel, mass, ptype)
     e0 = energy_statistics(sim.state, cfg, opts)
-    sim.run_until(2.0, max_steps=400)
+    sim.run_until(1.5, max_steps=300)
     eN = energy_statistics(sim.state, cfg, opts)
     drift = abs(float(eN.total) - float(e0.total)) / abs(float(e0.total))
     assert drift < 0.02, f"energy drift {drift:.3%}"
@@ -65,7 +65,7 @@ def test_cluster_comoving_vacuum():
     # overdense sphere: Plummer positions, small virial-scaled velocities
     h0 = cfg.hubble_internal
     rho_crit = 3 * h0**2 / (8 * np.pi * cfg.grav_internal)
-    pos, vel, mass, ptype, _ = plummer_ics(800, total_mass=1.0, a=1.0,
+    pos, vel, mass, ptype, _ = plummer_ics(500, total_mass=1.0, a=1.0,
                                            g=cfg.grav_internal)
     # make it ~200x overdense within r=2 so it collapses against expansion
     m_sphere = 200 * rho_crit * (4 / 3) * np.pi * 2**3
@@ -74,12 +74,16 @@ def test_cluster_comoving_vacuum():
     sim = Simulation(cfg, opts)
     sim.set_ics(pos + 50.0, vel, mass, ptype)  # off-origin: no special point
     r0 = _half_mass_radius(sim)
-    sim.run_until(0.6, max_steps=600)
+    # the sphere collapses violently -> central accelerations shrink the
+    # individual timesteps by ~50x; integrate a modest expansion interval
+    # (enough to catch sign errors in the comoving vacuum correction term,
+    # which would unbind the sphere)
+    sim.run_until(0.215, max_steps=400)
     rN = _half_mass_radius(sim)
     # bound overdensity: comoving half-mass radius must NOT grow with the
-    # background (it should shrink or hold as the halo virialises)
-    assert rN < 1.5 * r0, (r0, rN)
-    assert sim.time >= 0.6 * 0.999
+    # background (it collapses/virialises instead)
+    assert rN < 1.2 * r0, (r0, rN)
+    assert sim.time >= 0.215 * 0.999
 
 
 def _half_mass_radius(sim):
