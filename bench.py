@@ -23,8 +23,10 @@ import numpy as np
 
 
 def main():
-    n_side = int(os.environ.get("BENCH_NSIDE", "64"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "8"))
+    # default = the canonical BASELINE config: lcdm_gas at 128^3
+    # (2 x 128^3 = 4.2M particles, TreePM + SPH)
+    n_side = int(os.environ.get("BENCH_NSIDE", "128"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "6"))
     import jax
     import jax.numpy as jnp
 
