@@ -68,13 +68,8 @@ MinGasHsmlFractional 0.1
     # occ = 2 n_side^3/ncells^3); the floor matters — verify occ <= ~110
     pmgrid = int(os.environ.get("BENCH_PMGRID", "0"))
     if pmgrid == 0:
-        # smallest 3-smooth (2^a*3^b) mesh keeping short-range occupancy
-        # <= ~110 per cap-128 tile: radix-5 FFT sizes are ~40% slower on
-        # this chip (measured: 200^3 = 3.4s vs 192^3 = 2.4s at 4.2M)
-        cands = [16, 24, 32, 48, 64, 96, 128, 144, 192, 216, 288, 324,
-                 384, 432, 512, 576, 768]
-        pmgrid = next(g for g in cands
-                      if int(g / 5.625) ** 3 * 110 >= 2 * n_side**3)
+        from gadget_leicester_tpu.core.config import auto_pmgrid
+        pmgrid = auto_pmgrid(2 * n_side**3)
     opts = SimOptions(periodic=True, pmgrid=pmgrid, gravity_mode="treepm",
                       sph_backend="cells")
     sim = Simulation(cfg, opts)

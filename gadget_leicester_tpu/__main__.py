@@ -17,19 +17,20 @@ def main(argv=None):
     ap.add_argument("restartflag", nargs="?", type=int, default=0,
                     choices=[0, 1, 2])
     ap.add_argument("--max-steps", type=int, default=1000000)
-    ap.add_argument("--pmgrid", type=int, default=0,
-                    help="PM mesh size (the -DPMGRID compile flag analog)")
-    ap.add_argument("--cooling", default="none",
+    ap.add_argument("--pmgrid", type=int, default=None,
+                    help="PM mesh size (the -DPMGRID compile flag analog); "
+                         "default: auto-derived for periodic boxes (TreePM), "
+                         "0 forces tree-only")
+    ap.add_argument("--cooling", default=None,
                     choices=["none", "beta", "stamatellos"])
-    ap.add_argument("--sinks", action="store_true")
-    ap.add_argument("--isothermal", action="store_true")
+    ap.add_argument("--sinks", action="store_true", default=None)
+    ap.add_argument("--isothermal", action="store_true", default=None)
     ap.add_argument("--makeglass", type=int, default=0, metavar="NSIDE",
                     help="MAKEGLASS mode: generate an NSIDE^3 glass file "
                          "into OutputDir and exit [G2: -DMAKEGLASS]")
     args = ap.parse_args(argv)
 
-    from gadget_leicester_tpu.core.config import (SimOptions,
-                                                  read_parameter_file)
+    from gadget_leicester_tpu.core.config import read_parameter_file
     from gadget_leicester_tpu.models.simulation import Simulation
 
     cfg = read_parameter_file(args.paramfile)
@@ -57,15 +58,22 @@ def main(argv=None):
         print(f"glass written: {out} (N={n}, residual force ratio "
               f"{float(amax[-1] / amax[0]):.3f})")
         return 0
-    opts = SimOptions(
-        periodic=bool(cfg.periodic_boundaries_on),
-        pmgrid=args.pmgrid,
-        cooling=args.cooling,
-        sinks=args.sinks,
-        isotherm_eqs=args.isothermal,
-    )
-    sim = Simulation.from_param_file(args.paramfile, opts,
-                                     restart_flag=args.restartflag)
+    # only explicitly-given flags override the config/sidecar derivation;
+    # the stock lcdm_gas.param must run TreePM with no extra flags
+    overrides = {}
+    if args.pmgrid is not None:
+        overrides["pmgrid"] = args.pmgrid
+        overrides["gravity_mode"] = "treepm" if args.pmgrid else "auto"
+    if args.cooling is not None:
+        overrides["cooling"] = args.cooling
+    if args.sinks is not None:
+        overrides["sinks"] = args.sinks
+    if args.isothermal is not None:
+        overrides["isotherm_eqs"] = args.isothermal
+    sim = Simulation.from_param_file(args.paramfile, None,
+                                     restart_flag=args.restartflag,
+                                     opt_overrides=overrides)
+    opts = sim.opts
     print(f"N={int(sim.state.p.alive.sum())} particles; "
           f"t={sim.time:g} -> {cfg.time_max:g}; "
           f"gravity={opts.gravity_mode}, pmgrid={opts.pmgrid}")

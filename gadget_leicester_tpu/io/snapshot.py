@@ -192,11 +192,18 @@ def read_snapshot(path: str) -> SnapshotData:
         rr = _RecordReader(fh, endian)
 
         def next_block(expected_label=None):
-            if fmt == 2:
+            """fmt 2: read the next label record. With an expected label,
+            SKIP unknown labelled blocks (ACCE/TSTP/... from other builds)
+            until it appears — labels make the format self-describing, so
+            honour them [ADVICE r1]. fmt 1: positional, return expected."""
+            if fmt != 2:
+                return expected_label
+            while True:
                 lab = rr.read_record()
                 label = lab[:4].decode("ascii", "replace")
-                return label
-            return expected_label
+                if expected_label is None or label.strip() == expected_label.strip():
+                    return label
+                rr.skip_record()  # unknown block's payload
 
         next_block("HEAD")
         header = Header.unpack(rr.read_record(), endian)
@@ -249,24 +256,39 @@ def read_snapshot(path: str) -> SnapshotData:
                 snap.mass[o:o + nt] = header.mass[t]
             o += nt
 
-        # optional blocks in order: U, RHO, HSML (gas-sized), POT (all);
-        # gas blocks are absent entirely when the file has no gas
-        opt_order = (["U", "RHO", "HSML"] if ngas else []) + ["POT"]
-        for name in opt_order:
-            try:
-                lab = next_block(name)
-            except EOFError:
-                break
-            if fmt == 2 and lab is not None:
-                name = lab.strip()
-            count = n if name == "POT" else ngas
-            try:
-                data = read_f32(count)
-            except (EOFError, IOError):
-                break
-            setattr(snap,
-                    {"U": "u", "RHO": "rho", "HSML": "hsml",
-                     "POT": "pot"}.get(name, "u"), data)
+        # optional blocks: U, RHO, HSML (gas-sized), POT (all particles).
+        # fmt 2 is label-driven: unknown labels (ACCE/TSTP/DTEN from other
+        # builds) are SKIPPED, never misread into a known attribute.
+        known = {"U": ("u", "gas"), "RHO": ("rho", "gas"),
+                 "HSML": ("hsml", "gas"), "POT": ("pot", "all")}
+        if fmt == 2:
+            while True:
+                try:
+                    name = next_block().strip()
+                except EOFError:
+                    break
+                if name in known and (ngas or known[name][1] == "all"):
+                    attr, scope = known[name]
+                    count = n if scope == "all" else ngas
+                    try:
+                        setattr(snap, attr, read_f32(count))
+                    except (EOFError, IOError):
+                        break
+                else:
+                    try:
+                        rr.skip_record()
+                    except (EOFError, IOError):
+                        break
+        else:
+            # fmt 1 has no labels: blocks are positional in stock order
+            opt_order = (["U", "RHO", "HSML"] if ngas else []) + ["POT"]
+            for name in opt_order:
+                attr, scope = known[name]
+                count = n if scope == "all" else ngas
+                try:
+                    setattr(snap, attr, read_f32(count))
+                except (EOFError, IOError):
+                    break
         return snap
 
 

@@ -63,7 +63,11 @@ def snapshot_from_state(state: SimState, cfg: SimConfig,
         if opts.isotherm_eqs:
             u_val = ent / GAMMA_MINUS1
         else:
-            u_val = ent * np.maximum(dens, 1e-37) ** GAMMA_MINUS1 / GAMMA_MINUS1
+            # entropy -> u with PHYSICAL density [G2: io.c IO_U writes
+            # Entropy/GAMMA_MINUS1 * pow(Density*a3inv, GAMMA_MINUS1)]
+            a3inv = 1.0 / a_now**3 if cfg.comoving_integration_on else 1.0
+            u_val = (ent * np.maximum(dens * a3inv, 1e-37) ** GAMMA_MINUS1
+                     / GAMMA_MINUS1)
         u = u_val.astype(np.float32)
         rho = dens.astype(np.float32)
         hsml = np.asarray(state.gas.hsml)[gidx].astype(np.float32)

@@ -113,13 +113,13 @@ def get_timesteps(state: SimState, cfg: SimConfig, opts: SimOptions):
     else:
         fac1 = fac2 = fac3 = hubble_a = 1.0
 
-    # physical acceleration magnitude (short-range + frozen PM)
-    acc_grav = (p.acc + p.acc_pm) * fac1
-    acc2 = jnp.sum(acc_grav * acc_grav, axis=-1)
+    # physical acceleration: VECTOR sum of gravity + hydro before the norm
+    # [G2: timestep.c ac = fac1*GravAccel + fac2*HydroAccel, then |ac|]
+    acc_vec = (p.acc + p.acc_pm) * fac1
     hyd = jnp.zeros_like(p.acc).at[:ng].set(gas.hydro_acc * fac2)
     is_gas = (p.ptype == 0)
-    acc2 = acc2 + jnp.where(is_gas, jnp.sum(hyd * hyd, axis=-1), 0.0)
-    ac = jnp.sqrt(acc2)
+    acc_vec = acc_vec + jnp.where(is_gas[:, None], hyd, 0.0)
+    ac = jnp.sqrt(jnp.sum(acc_vec * acc_vec, axis=-1))
     ac = jnp.maximum(ac, 1e-30)
 
     eps = softening_table(cfg, fac.atime)[p.ptype]
@@ -194,7 +194,9 @@ def advance_and_find_timesteps(state: SimState, cfg: SimConfig,
     entropy_new = gas.entropy + gas.dt_entropy * dt_entr
     # entropy floor [G2: MinEgySpec -> min entropy; also DtEntropy limiter]
     if cfg.min_gas_temp > 0:
-        min_entropy = _min_entropy(cfg, gas.density)
+        from gadget_leicester_tpu.models.forces import comoving_factors
+        a3inv_floor = comoving_factors(cfg, ti_now).a3inv
+        min_entropy = _min_entropy(cfg, gas.density * a3inv_floor)
         entropy_new = jnp.maximum(entropy_new, min_entropy)
     entropy = jnp.where(active_g, entropy_new, gas.entropy)
 
@@ -253,7 +255,8 @@ def pm_step_update(state: SimState, cfg: SimConfig, opts: SimOptions,
 
 
 def _min_entropy(cfg: SimConfig, rho):
-    """Entropy floor from MinGasTemp [G2: init.c MinEgySpec computation]."""
+    """Entropy floor from MinGasTemp [G2: init.c MinEgySpec computation].
+    ``rho`` must be the PHYSICAL density (comoving * a3inv)."""
     from gadget_leicester_tpu.core.config import (BOLTZMANN_CGS,
                                                   HYDROGEN_MASSFRAC,
                                                   PROTONMASS_CGS)

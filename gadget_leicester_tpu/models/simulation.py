@@ -192,7 +192,11 @@ def _init_finalize_gas(state: SimState, cfg: SimConfig, opts: SimOptions,
         # entropy slot stores c_s^2 = (gamma-1) u (isothermal sound speed^2)
         a_ent = GAMMA_MINUS1 * gas.entropy
     else:
-        a_ent = GAMMA_MINUS1 * gas.entropy / rho_safe**GAMMA_MINUS1
+        # u -> entropy uses PHYSICAL density rho_com * a3inv
+        # [G2: init.c Entropy = GAMMA_MINUS1*u / pow(Density/a3, GAMMA_MINUS1)]
+        from gadget_leicester_tpu.models.forces import comoving_factors
+        a3inv = comoving_factors(cfg, state.ti_current).a3inv
+        a_ent = GAMMA_MINUS1 * gas.entropy / (rho_safe * a3inv)**GAMMA_MINUS1
     a_ent = jnp.where(gas_mask, a_ent, 0.0)
     if opts.isotherm_eqs:
         pressure = a_ent * gas.density
@@ -231,17 +235,37 @@ class Simulation:
 
     @classmethod
     def from_param_file(cls, path: str, opts: Optional[SimOptions] = None,
-                        restart_flag: int = 0) -> "Simulation":
+                        restart_flag: int = 0,
+                        opt_overrides: Optional[dict] = None) -> "Simulation":
         """`Gadget2 param.txt [restartflag]` equivalent [G2: main.c]:
         restart_flag 0 = cold start from InitCondFile, 1 = resume from the
-        restart dump, 2 = start from a snapshot named by InitCondFile."""
-        from gadget_leicester_tpu.core.config import read_parameter_file
+        restart dump, 2 = start from a snapshot named by InitCondFile.
+
+        When ``opts`` is None the static flags come from, in order: the
+        config itself (periodic / auto TreePM pmgrid from the IC count),
+        then a `<paramfile>.opts` Makefile-style sidecar, then
+        ``opt_overrides`` (e.g. explicit CLI flags)."""
+        from gadget_leicester_tpu.core.config import (options_from_config,
+                                                      options_sidecar_path,
+                                                      parse_makefile_options,
+                                                      read_parameter_file)
         cfg = read_parameter_file(path)
-        sim = cls(cfg, opts)
+        sidecar = options_sidecar_path(path)
+        side_kw = {}
+        if opts is None and os.path.exists(sidecar):
+            with open(sidecar) as fh:
+                side_kw = parse_makefile_options(fh.read())
+        if opt_overrides:
+            side_kw.update(opt_overrides)
         if restart_flag == 1:
             from gadget_leicester_tpu.io.restart import load_restart
             rp = os.path.join(cfg.output_dir, (cfg.restart_file or "restart"))
-            sim.state, meta = load_restart(rp)
+            state, meta = load_restart(rp)
+            if opts is None:
+                n_alive = int(np.asarray(state.p.alive).sum())
+                opts = options_from_config(cfg, n_particles=n_alive, **side_kw)
+            sim = cls(cfg, opts)
+            sim.state = state
             sim.step_count = meta.get("step_count", 0)
             sim.snapshot_count = meta.get("snapshot_count", 0)
         else:
@@ -249,6 +273,10 @@ class Simulation:
             from gadget_leicester_tpu.io.state_io import ic_arrays_from_snapshot
             snap = read_snapshot(cfg.init_cond_file)
             pos, vel, mass, ptype, u = ic_arrays_from_snapshot(snap, cfg)
+            if opts is None:
+                # Makefile analog: stock .param + IC count decide TreePM/pmgrid
+                opts = options_from_config(cfg, n_particles=len(pos), **side_kw)
+            sim = cls(cfg, opts)
             sim.set_ics(pos, vel, mass, ptype, pid=snap.ids.astype(np.int64),
                         u=u)
         return sim

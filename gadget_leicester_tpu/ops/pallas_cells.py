@@ -596,7 +596,7 @@ def _make_hydro_kernel(box, periodic, n_cells, visc_const):
         rho_ij_inv = rs * rs              # 1/x without a division
         f_ij = 0.5 * (tb[3, :][:, None] + sb[3, :][None, :])
         visc = jnp.where(approaching,
-                         visc_const * vsig * (-mu_ij) * rho_ij_inv * f_ij,
+                         0.5 * visc_const * vsig * (-mu_ij) * rho_ij_inv * f_ij,
                          0.0)
         m = sa[3, :][None, :]
         hfc_visc = 0.5 * m * visc * (dwk_i + dwk_j) * rinv
@@ -763,7 +763,7 @@ def hydro_force_pallas(
                                                 rows=(0, 1, 2, 3, 4))
     acc = jnp.stack([ax, ay, az], axis=-1)
     dt_ent = dt_raw * GAMMA_MINUS1 / (
-        jnp.asarray(hubble_a2_norm, rho.dtype)**2 * rho_safe**GAMMA_MINUS1)
+        jnp.asarray(hubble_a2_norm, rho.dtype) * rho_safe**GAMMA_MINUS1)
     gm = gas_mask
     return HydroResult(
         acc=jnp.where(gm[:, None], acc, 0.0),

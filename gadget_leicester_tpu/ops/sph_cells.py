@@ -130,7 +130,7 @@ def hydro_force_cells(
         rho_ij = jnp.where(rho_ij > 0, rho_ij, 1.0)
         f_ij = 0.5 * (tbal[:, None] + sbal)
         visc = jnp.where(approaching,
-                         visc_const * vsig * (-mu_ij) / rho_ij * f_ij, 0.0)
+                         0.5 * visc_const * vsig * (-mu_ij) / rho_ij * f_ij, 0.0)
         hfc_visc = 0.5 * sm * visc * (dwk_i + dwk_j) * rinv
         hfc = hfc_visc + sm * (tpor2[:, None] * dwk_i + spor2 * dwk_j) * rinv
         hfc = jnp.where(inside, hfc, 0.0)
@@ -141,7 +141,7 @@ def hydro_force_cells(
         return acc, dt_ent, msv
 
     acc, dt_ent, msv = apply_pairwise(cl, pos, pair_fn, block=block)
-    dt_ent = dt_ent * GAMMA_MINUS1 / (hubble_a2_norm**2 * rho_safe**GAMMA_MINUS1)
+    dt_ent = dt_ent * GAMMA_MINUS1 / (hubble_a2_norm * rho_safe**GAMMA_MINUS1)
     gm = gas_mask
     return HydroResult(
         acc=jnp.where(gm[:, None], acc, 0.0),

@@ -306,7 +306,7 @@ def hydro_force(
         f_ij = 0.5 * (tbal[:, None] + balsara[None, :])
         visc = jnp.where(
             approaching,
-            visc_const * vsig * (-mu_ij) / rho_ij * f_ij,
+            0.5 * visc_const * vsig * (-mu_ij) / rho_ij * f_ij,
             0.0,
         )
         m = src_mass[None, :]
@@ -324,8 +324,8 @@ def hydro_force(
     dt_ent = dt_ent.reshape(npad)[:ng]
     msv = msv.reshape(npad)[:ng]
     # final scaling [G2: hydra.c tail]:
-    # DtEntropy *= GAMMA_MINUS1 / (hubble_a2^2 * rho^{gamma-1})
-    dt_ent = dt_ent * GAMMA_MINUS1 / (hubble_a2_norm**2 * rho_safe**GAMMA_MINUS1)
+    # DtEntropy *= GAMMA_MINUS1 / (hubble_a2 * rho^{gamma-1})
+    dt_ent = dt_ent * GAMMA_MINUS1 / (hubble_a2_norm * rho_safe**GAMMA_MINUS1)
     gm = gas_mask
     return HydroResult(
         acc=jnp.where(gm[:, None], acc, 0.0),

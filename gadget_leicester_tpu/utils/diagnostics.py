@@ -64,7 +64,11 @@ def energy_statistics(state: SimState, cfg: SimConfig, opts: SimOptions) -> Ener
     if opts.isotherm_eqs:
         u = a_now / GAMMA_MINUS1  # c_s^2/(gamma-1) bookkeeping value
     else:
-        u = a_now * rho_safe**GAMMA_MINUS1 / GAMMA_MINUS1
+        # entropy -> u with PHYSICAL density [G2: global.c EnergyInt +=
+        # Mass * Entropy/GAMMA_MINUS1 * pow(Density/a3, GAMMA_MINUS1)]
+        from gadget_leicester_tpu.models.forces import comoving_factors
+        a3inv = comoving_factors(cfg, state.ti_current).a3inv
+        u = a_now * (rho_safe * a3inv)**GAMMA_MINUS1 / GAMMA_MINUS1
     ie = jnp.sum(jnp.where(gas_mask, m[:ng] * u, 0.0))
 
     mom = jnp.sum(m[:, None] * vel_sync, axis=0)

@@ -127,3 +127,57 @@ def test_comoving_timebase_is_log_a():
     assert math.isclose(
         cfg.timebase_interval, math.log(3.0 / 0.1) / TIMEBASE, rel_tol=1e-12
     )
+
+
+def test_makefile_options_sidecar_parsing():
+    """Makefile-style `-DOPT` lines -> SimOptions overrides [G2: Makefile]."""
+    from gadget_leicester_tpu.core.config import parse_makefile_options
+
+    kw = parse_makefile_options("""
+# stock Makefile idiom
+OPT += -DPERIODIC -DPMGRID=128
+OPT += -DOUTPUTPOTENTIAL
+FLEXSTEPS          # bare flag form
+""")
+    assert kw["periodic"] is True
+    assert kw["pmgrid"] == 128
+    assert kw["gravity_mode"] == "treepm"  # implied by PMGRID
+    assert kw["output_potential"] is True
+    assert kw["flexsteps"] is True
+
+    with pytest.raises(ValueError, match="NOTAFLAG"):
+        parse_makefile_options("OPT += -DNOTAFLAG")
+
+
+def test_auto_pmgrid_3smooth_and_monotone():
+    from gadget_leicester_tpu.core.config import auto_pmgrid
+
+    def is_3smooth(n):
+        for p in (2, 3):
+            while n % p == 0:
+                n //= p
+        return n == 1
+
+    last = 0
+    for n in (1_000, 64**3, 2 * 64**3, 2 * 128**3, 2 * 256**3):
+        g = auto_pmgrid(n)
+        assert is_3smooth(g), g
+        assert g >= last
+        last = g
+    # the headline config gets the measured-good 192 mesh
+    assert auto_pmgrid(2 * 128**3) == 192
+
+
+def test_options_from_config_periodic_defaults_to_treepm():
+    from gadget_leicester_tpu.core.config import options_from_config
+
+    cfg = parse_parameter_text(
+        GASSPHERE_PARAM.replace("PeriodicBoundariesOn 0",
+                                "PeriodicBoundariesOn 1")
+        .replace("BoxSize             0", "BoxSize             1000"))
+    opts = options_from_config(cfg, n_particles=2 * 64**3)
+    assert opts.periodic and opts.gravity_mode == "treepm" and opts.pmgrid > 0
+    # vacuum config stays on the auto (tree/direct) path
+    opts2 = options_from_config(parse_parameter_text(GASSPHERE_PARAM),
+                                n_particles=500)
+    assert not opts2.periodic and opts2.pmgrid == 0

@@ -130,3 +130,39 @@ def test_pot_block_collisionless(tmp_path, rng):
     write_snapshot(path, snap, fmt=1)
     back = read_snapshot(path)
     np.testing.assert_array_equal(back.pot, snap.pot)
+
+
+def test_fmt2_unknown_blocks_skipped(tmp_path, rng):
+    """Extra fmt-2 blocks from other GADGET builds (ACCE/TSTP/DTEN) must be
+    skipped, never misread into a known attribute [ADVICE r1]."""
+    snap = _mk_snap(rng)
+    path = str(tmp_path / "snap_fmt2")
+    write_snapshot(path, snap, fmt=2)
+    raw = open(path, "rb").read()
+
+    def labeled_block(label, payload):
+        lab = label.encode().ljust(4)[:4] + struct.pack("<i", len(payload) + 8)
+        return (struct.pack("<i", 8) + lab + struct.pack("<i", 8)
+                + struct.pack("<i", len(payload)) + payload
+                + struct.pack("<i", len(payload)))
+
+    # splice an all-particle ACCE block right after ID (before MASS/U)
+    # and a gas-sized TSTP block at the end
+    n = int(snap.header.npart.sum())
+    acce = labeled_block("ACCE", b"\x7f" * (12 * n))
+    # locate the insertion point: after the 3rd data block (POS,VEL,ID),
+    # i.e. after 1 header + 3 data, each preceded by a label record
+    off = 0
+    for _ in range(4 * 2):  # 4 label records + 4 payload records
+        (sz,) = struct.unpack("<i", raw[off:off + 4])
+        off += 4 + sz + 4
+    doctored = raw[:off] + acce + raw[off:] + labeled_block(
+        "TSTP", b"\x01" * (4 * int(snap.header.npart[0])))
+    p2 = str(tmp_path / "snap_fmt2_extra")
+    open(p2, "wb").write(doctored)
+
+    back = read_snapshot(p2)
+    np.testing.assert_array_equal(back.u, snap.u)
+    np.testing.assert_array_equal(back.rho, snap.rho)
+    np.testing.assert_array_equal(back.hsml, snap.hsml)
+    np.testing.assert_allclose(back.mass, snap.mass)
