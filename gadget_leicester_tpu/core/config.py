@@ -191,6 +191,8 @@ class SimConfig:
 
     # --- Leicester-fork runtime knobs [UNVERIFIED-FORK, SURVEY.md §2] ---
     cooling_beta: float = _p("CoolingBeta", float, 10.0)      # beta-cooling du/dt=-u*Omega/beta
+    cooling_tbg: float = _p("CoolingTbg", float, 10.0)        # radiative background temp [K]
+    cooling_column_fac: float = _p("CoolingColumnFac", float, 1.0)  # zeta in Sigma^2 = zeta rho|psi|/(4 pi G)
     sink_accretion_radius: float = _p("SinkAccretionRadius", float, 0.0)
     sink_formation_density: float = _p("SinkFormationDensity", float, 0.0)
 

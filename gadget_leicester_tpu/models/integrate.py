@@ -72,6 +72,9 @@ def drift_all(state: SimState, cfg: SimConfig, opts: SimOptions, ti_next) -> Sim
     # (entropy is defined at step starts, not midpoints) [G2: predict.c]
     dt_entr = (ti_next - p.ti_begstep[:ng]) * cfg.timebase_interval
     entropy_pred = gas.entropy + gas.dt_entropy * dt_entr
+    # same half-loss clamp as the kick (stiff cooling must not drive the
+    # predicted entropy through zero) [G2: timestep.c DtEntropy limiter]
+    entropy_pred = jnp.maximum(entropy_pred, 0.5 * gas.entropy)
     # local density/hsml forecast [G2: drift_particle]:
     #   rho *= exp(-divv * dt_drift_particle) ; hsml *= exp(divv/3 * dt)
     ddt = dt_drift  # scalar
@@ -134,6 +137,14 @@ def get_timesteps(state: SimState, cfg: SimConfig, opts: SimOptions):
 
     # convert to timeline units (dloga for comoving) and clamp
     dt = dt * hubble_a
+    if opts.cooling != "none":
+        # cooling criterion: bound |dA| to ~30% of A per step (dt_entropy
+        # already includes the radiative term — cooling runs before the
+        # timestep update in sync_point_step)
+        a_safe = jnp.maximum(gas.entropy, 1e-30)
+        dt_cool = 0.3 * a_safe / jnp.maximum(jnp.abs(gas.dt_entropy), 1e-30)
+        dt_cool_full = jnp.full_like(dt, jnp.inf).at[:ng].set(dt_cool)
+        dt = jnp.where(is_gas, jnp.minimum(dt, dt_cool_full), dt)
     dt = jnp.clip(dt, cfg.min_size_timestep, cfg.max_size_timestep)
     return dt
 
@@ -192,6 +203,9 @@ def advance_and_find_timesteps(state: SimState, cfg: SimConfig,
     dt_entr = (new_mid - old_mid).astype(gas.entropy.dtype)[:ng] * cfg.timebase_interval
     active_g = active[:ng]
     entropy_new = gas.entropy + gas.dt_entropy * dt_entr
+    # stiff-cooling guard [G2: timestep.c DtEntropy limiter]: entropy may
+    # not drop by more than half over one interval
+    entropy_new = jnp.maximum(entropy_new, 0.5 * gas.entropy)
     # entropy floor [G2: MinEgySpec -> min entropy; also DtEntropy limiter]
     if cfg.min_gas_temp > 0:
         from gadget_leicester_tpu.models.forces import comoving_factors

@@ -28,7 +28,7 @@ from gadget_leicester_tpu.core.state import SimState, from_arrays
 from gadget_leicester_tpu.models import integrate
 from gadget_leicester_tpu.models.forces import compute_forces
 from gadget_leicester_tpu.models.cooling import apply_cooling
-from gadget_leicester_tpu.models.sinks import accrete_onto_sinks
+from gadget_leicester_tpu.models.sinks import accrete_onto_sinks, create_sinks
 
 
 def _uses_pm_split(opts: SimOptions) -> bool:
@@ -57,6 +57,7 @@ def sync_point_step(state: SimState, cfg: SimConfig, opts: SimOptions) -> SimSta
     if opts.cooling != "none":
         state = apply_cooling(state, cfg, opts)
     if opts.sinks:
+        state = create_sinks(state, cfg, opts)
         state = accrete_onto_sinks(state, cfg, opts)
     state = integrate.advance_and_find_timesteps(state, cfg, opts)
     if pm_split:

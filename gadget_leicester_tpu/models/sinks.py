@@ -17,7 +17,8 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from gadget_leicester_tpu.core.config import SimConfig, SimOptions
+from gadget_leicester_tpu.core.config import (GAMMA_MINUS1, SimConfig,
+                                              SimOptions)
 from gadget_leicester_tpu.core.state import SimState
 
 
@@ -55,9 +56,17 @@ def accrete_onto_sinks(state: SimState, cfg: SimConfig, opts: SimOptions) -> Sim
     inside = r2 < cfg.sink_accretion_radius**2
     approaching = jnp.sum(dv * dx, axis=-1) < 0     # moving toward sink... sign:
     # (v_gas - v_sink) . (x_gas - x_sink) < 0  <=>  (dv).(dx) < 0 with our defs
-    r = jnp.sqrt(jnp.maximum(r2, 1e-20))
     v2 = jnp.sum(dv * dv, axis=-1)
-    bound = 0.5 * v2 < cfg.grav_internal * s_mass[:, None] / r
+    # boundness vs the SOFTENED sink potential, including the gas particle's
+    # thermal energy: 0.5 v_rel^2 + u < G M_s / sqrt(r^2 + eps^2)
+    # (eps = type-5 softening; a pure point-mass check over-accretes close
+    # hot gas and under-weights softened dynamics)
+    eps = cfg.softenings[5]
+    r_soft = jnp.sqrt(r2 + eps * eps)
+    rho_safe = jnp.maximum(gas.density, 1e-30)
+    u_gas = gas.entropy_pred * rho_safe**GAMMA_MINUS1 / GAMMA_MINUS1  # [Ng]
+    bound = (0.5 * v2 + u_gas[None, :]
+             < cfg.grav_internal * s_mass[:, None] / r_soft)
     take = inside & approaching & bound & gas_mask[None, :] & s_valid[:, None]
 
     # a gas particle goes to the NEAREST claiming sink only
@@ -88,4 +97,68 @@ def accrete_onto_sinks(state: SimState, cfg: SimConfig, opts: SimOptions) -> Sim
         acc_mass=sinks.acc_mass + dm,
         n_accreted=sinks.n_accreted + n_acc,
     )
+    return dataclasses.replace(state, p=p, sinks=sinks)
+
+
+def create_sinks(state: SimState, cfg: SimConfig, opts: SimOptions) -> SimState:
+    """Density-threshold sink formation [Bate et al. 1995 style checks;
+    SURVEY.md §2 fork row, UNVERIFIED-FORK].
+
+    A gas particle becomes a sink when ALL of:
+      * physical density rho > SinkFormationDensity,
+      * converging flow (div v < 0),
+      * thermally bound: alpha = u / |psi| <= 0.5 (virial-style check),
+      * it is a local potential minimum: no other gas particle within
+        SinkAccretionRadius has lower potential,
+      * a free sink slot exists.
+
+    At most ONE sink forms per sync point (the densest passing candidate) —
+    formation is rare and serialising it keeps the check O(N) vector ops
+    instead of an O(N^2) candidate-pair matrix; competitors form on the
+    next sync point. The particle is converted in place to type 5 (its gas
+    slot is thereafter excluded by every gas_mask), preserving mass and
+    momentum exactly.
+    """
+    if cfg.sink_formation_density <= 0:
+        return state
+    p, gas, sinks = state.p, state.gas, state.sinks
+    ng = gas.n_gas_max
+    gas_mask = p.alive[:ng] & (p.ptype[:ng] == 0)
+
+    rho = gas.density
+    rho_safe = jnp.maximum(rho, 1e-30)
+    u = gas.entropy_pred * rho_safe**GAMMA_MINUS1 / GAMMA_MINUS1
+    psi_mag = jnp.maximum(-p.pot[:ng], 1e-30)
+    cand = (gas_mask
+            & (rho > cfg.sink_formation_density)
+            & (gas.div_vel < 0.0)
+            & (u <= 0.5 * psi_mag))
+
+    any_cand = jnp.any(cand)
+    best = jnp.argmax(jnp.where(cand, rho, -1.0))       # densest candidate
+
+    # local-potential-minimum check vs ALL gas within r_acc of `best`
+    r_acc = jnp.asarray(cfg.sink_accretion_radius
+                        if cfg.sink_accretion_radius > 0 else 0.0,
+                        p.pos.dtype)
+    dxb = p.pos[:ng] - p.pos[best][None, :]
+    r2b = jnp.sum(dxb * dxb, axis=-1)
+    near = gas_mask & (r2b < r_acc * r_acc)
+    near = near.at[best].set(False)
+    deeper = near & (p.pot[:ng] < p.pot[best])
+    is_pot_min = ~jnp.any(deeper)
+
+    free = sinks.slot < 0
+    has_free = jnp.any(free)
+    free_slot = jnp.argmax(free)
+
+    do_form = any_cand & is_pot_min & has_free
+
+    ptype = p.ptype.at[best].set(
+        jnp.where(do_form, jnp.int32(5), p.ptype[best]))
+    slot = sinks.slot.at[free_slot].set(
+        jnp.where(do_form, best.astype(jnp.int32), sinks.slot[free_slot]))
+
+    p = dataclasses.replace(p, ptype=ptype)
+    sinks = dataclasses.replace(sinks, slot=slot)
     return dataclasses.replace(state, p=p, sinks=sinks)
