@@ -71,7 +71,7 @@ MinGasHsmlFractional 0.1
         from gadget_leicester_tpu.core.config import auto_pmgrid
         pmgrid = auto_pmgrid(2 * n_side**3)
     opts = SimOptions(periodic=True, pmgrid=pmgrid, gravity_mode="treepm",
-                      sph_backend="cells")
+                      sph_backend="auto")  # auto -> block-packed on TPU
     sim = Simulation(cfg, opts)
     pos, vel, mass, ptype, u = lcdm_gas_ics(
         n_side=n_side, box=box, omega0=0.3, omega_b=0.04,

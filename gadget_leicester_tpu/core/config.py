@@ -67,7 +67,7 @@ class SimOptions:
     tree_depth: int = 8                  # octree depth (max 10 = Morton bits/3)
     # Backend selection (static — specialises the jitted step like -DOPT):
     gravity_mode: str = "auto"           # "auto"|"direct"|"treepm"|"tree"
-    sph_backend: str = "auto"            # "auto"|"dense"|"cells"
+    sph_backend: str = "auto"            # "auto"|"dense"|"cells"|"blocks"
     sph_grid: int = 0                    # cells per axis for SPH (0 = auto)
     sph_capacity: int = 0                # per-cell capacity for SPH (0 = auto)
     sr_capacity: int = 0                 # per-cell capacity, short-range grav

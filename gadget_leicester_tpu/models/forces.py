@@ -95,6 +95,12 @@ def compute_forces(
     p = state.p
     fac = comoving_factors(cfg, state.ti_current)
 
+    # the active set [G2: timestep.c ti_endstep == All.Ti_Current]: only
+    # these particles receive fresh forces this sync point; the rest keep
+    # their frozen acc (used by vel_pred drifts) — "inactive particles
+    # cost nothing" via per-tile gating in the Pallas kernels.
+    active = (p.ti_endstep == state.ti_current) & p.alive
+
     # ----- gravity ------------------------------------------------------
     mode = opts.gravity_mode
     if mode == "auto":
@@ -118,7 +124,7 @@ def compute_forces(
         acc_pm = state.p.acc_pm
         if mode == "treepm":
             acc, pot, sr_ovf, acc_pm = _treepm_gravity(
-                state, cfg, opts, soft, do_pm)
+                state, cfg, opts, soft, do_pm, active)
             state = dataclasses.replace(
                 state, overflow_flags=state.overflow_flags
                 | jnp.where(sr_ovf, jnp.int32(1), jnp.int32(0)))
@@ -140,6 +146,10 @@ def compute_forces(
             # acc += Omega0 H0^2 / 2 * a^... * pos  (background subtraction)
             corr = 0.5 * cfg.omega0 * cfg.hubble_internal**2
             acc = acc + corr * p.pos
+        # short-range acc updates only for ACTIVE particles [G2: gravtree.c
+        # walks the active list]; inactive keep the frozen value (which the
+        # gated Pallas tiles never computed)
+        acc = jnp.where(active[:, None], acc, p.acc)
         acc = jnp.where(p.alive[:, None], acc, 0.0)
         acc_pm = jnp.where(p.alive[:, None], acc_pm, 0.0)
     else:
@@ -155,12 +165,13 @@ def compute_forces(
 
     # ----- SPH ----------------------------------------------------------
     if do_sph and state.gas.n_gas_max > 1:
-        state = compute_sph(state, cfg, opts, fac)
+        state = compute_sph(state, cfg, opts, fac,
+                            active[:state.gas.n_gas_max])
     return state
 
 
 def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
-                    soft, do_pm=None):
+                    soft, do_pm=None, active=None):
     """TreePM: FFT PM long-range + cell/Pallas erfc short-range
     [G2: pm_periodic.c + forcetree.c shortrange]. The PM part recomputes
     only when `do_pm` (PM steps); otherwise the frozen state.p.acc_pm is
@@ -187,7 +198,7 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
         acc_sr, overflow = shortrange_gravity_pallas_dma(
             p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
             capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
-            periodic=True)
+            periodic=True, active=active)
     else:
         if opts.sr_capacity > 0:
             cap = opts.sr_capacity
@@ -235,20 +246,67 @@ def _tree_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
 
 
 def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
-                fac: ComovingFactors) -> SimState:
-    """density() -> hydro_force() [G2: accel.c ordering]."""
+                fac: ComovingFactors, active=None) -> SimState:
+    """density() -> hydro_force() [G2: accel.c ordering].
+
+    ``active`` (bool [n_gas_max], None = all): SPH fields recompute only
+    for active gas; inactive keep their drift-predicted values as both
+    stored state and pair-source terms [G2: density.c/hydra.c walk the
+    active list; predict.c supplies the inactive side]."""
     gas = state.gas
     pos_g, mass_g, gas_mask = gather_gas(state)
+    if active is None:
+        active = jnp.ones_like(gas_mask)
+    active_g = active & gas_mask
     eps_gas = softening_table(cfg, fac.atime)[0]
     min_hsml = cfg.min_gas_hsml_fractional * SOFTFAC * eps_gas
 
     backend = opts.sph_backend
-    if backend == "auto":
-        backend = "cells" if gas.n_gas_max > 4096 else "dense"
     use_pallas = opts.use_pallas == "on" or (
         opts.use_pallas == "auto" and jax.default_backend() == "tpu")
+    if backend == "auto":
+        if gas.n_gas_max <= 4096:
+            backend = "dense"
+        else:
+            # block-packed kernels are the fast path on TPU; the coarse
+            # cells path remains for CPU (jnp) runs
+            backend = "blocks" if use_pallas else "cells"
 
-    if backend == "cells" and use_pallas:
+    if backend == "blocks":
+        from gadget_leicester_tpu.ops.sph_blocks import (
+            density_adaptive_blocks, hydro_force_blocks)
+        ng = gas.n_gas_max
+        if opts.periodic:
+            origin, extent = 0.0, cfg.box_size
+        else:
+            lo = jnp.min(jnp.where(gas_mask[:, None], pos_g, jnp.inf), axis=0)
+            hi = jnp.max(jnp.where(gas_mask[:, None], pos_g, -jnp.inf), axis=0)
+            pad_w = 0.01 * jnp.max(hi - lo) + 1e-6
+            origin = lo - pad_w
+            extent = jnp.max(hi - lo) + 2 * pad_w
+        subcap = opts.sph_capacity if opts.sph_capacity > 0 else 32
+        if opts.sph_grid > 0:
+            n_blocks = max(2, opts.sph_grid // 2)
+        else:
+            # mean subcell occupancy ~ 0.78 * subcap (the fill that makes
+            # lane waste == the coarse path's, with 3.4x less volume)
+            n_blocks = max(2, int(round(
+                (ng / (8 * 0.78 * subcap)) ** (1.0 / 3.0))))
+        max_hsml = (cfg.box_size if opts.periodic else extent) / (2 * n_blocks)
+        dres, cls_sph = density_adaptive_blocks(
+            pos_g, gas.vel_pred, mass_g,
+            jnp.minimum(gas.hsml, max_hsml), gas_mask,
+            des_num_ngb=cfg.des_num_ngb,
+            max_dev=cfg.max_num_ngb_deviation,
+            box=float(cfg.box_size) if opts.periodic else 1.0,
+            n_blocks=n_blocks, subcap=subcap,
+            min_hsml=min_hsml, max_hsml=max_hsml,
+            periodic=opts.periodic,
+            origin=origin, extent=extent,
+            interpret=not use_pallas,
+            active=active,
+        )
+    elif backend == "cells" and use_pallas:
         from gadget_leicester_tpu.ops.pallas_cells import (
             density_adaptive_pallas, hydro_force_pallas)
         ng = gas.n_gas_max
@@ -327,6 +385,19 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
             box=cfg.box_size,
             periodic=opts.periodic,
         )
+    # merge: active gas takes the fresh solve; inactive keeps the
+    # drift-forecast fields [G2: predict.c drift_particle] so pair sources
+    # and stored state stay the frozen-step values.
+    dres = dres._replace(
+        rho=jnp.where(active_g, dres.rho, gas.density),
+        hsml=jnp.where(active_g, dres.hsml, gas.hsml),
+        dhsml_factor=jnp.where(active_g, dres.dhsml_factor,
+                               gas.dhsml_density_factor),
+        div_vel=jnp.where(active_g, dres.div_vel, gas.div_vel),
+        curl_vel=jnp.where(active_g, dres.curl_vel, gas.curl_vel),
+        num_ngb_eff=jnp.where(active_g, dres.num_ngb_eff, gas.num_ngb),
+    )
+
     # entropy-form pressure P = A_pred rho^gamma [G2: density.c tail]
     if opts.isotherm_eqs:
         # isothermal EOS: P = c_s^2 rho, entropy slot stores c_s^2
@@ -343,7 +414,19 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         hubble_a2_norm=fac.hubble_a2_norm,
         fac_mu=fac.fac_mu,
     )
-    if backend == "cells" and use_pallas:
+    if backend == "blocks":
+        hres = hydro_force_blocks(
+            cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho,
+            pressure, dres.dhsml_factor, dres.div_vel, dres.curl_vel,
+            gas_mask, visc_const=cfg.art_bulk_visc_const,
+            box=float(cfg.box_size) if opts.periodic else 1.0,
+            hubble_a2_flow=fac.hubble_a2_flow,
+            hubble_a2_norm=fac.hubble_a2_norm,
+            fac_mu=fac.fac_mu,
+            interpret=not use_pallas,
+            active=active,
+        )
+    elif backend == "cells" and use_pallas:
         hres = hydro_force_pallas(
             cl_sph, pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho,
             pressure, dres.dhsml_factor, dres.div_vel, dres.curl_vel,
@@ -364,12 +447,19 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
             pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho, pressure,
             dres.dhsml_factor, dres.div_vel, dres.curl_vel, gas_mask,
             **hydro_kw)
-    dt_entropy = hres.dt_entropy
+    # hydro outputs update only active gas (gated tiles returned zeros)
+    hydro_acc = jnp.where(active_g[:, None], hres.acc, gas.hydro_acc)
+    dt_entropy = jnp.where(active_g, hres.dt_entropy, gas.dt_entropy)
+    max_signal_vel = jnp.where(active_g, hres.max_signal_vel,
+                               gas.max_signal_vel)
     if opts.isotherm_eqs:
         dt_entropy = jnp.zeros_like(dt_entropy)  # entropy fixed (isothermal)
 
-    if backend == "cells":
-        ovf = cl_sph.overflow if use_pallas else cl.overflow
+    if backend in ("cells", "blocks"):
+        if backend == "blocks":
+            ovf = cls_sph[0].overflow
+        else:
+            ovf = cl_sph.overflow if use_pallas else cl.overflow
         state = dataclasses.replace(
             state, overflow_flags=state.overflow_flags
             | jnp.where(ovf, jnp.int32(2), jnp.int32(0)))
@@ -383,8 +473,8 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         curl_vel=dres.curl_vel,
         dhsml_density_factor=dres.dhsml_factor,
         num_ngb=dres.num_ngb_eff,
-        hydro_acc=hres.acc,
+        hydro_acc=hydro_acc,
         dt_entropy=dt_entropy,
-        max_signal_vel=hres.max_signal_vel,
+        max_signal_vel=max_signal_vel,
     )
     return dataclasses.replace(state, gas=gas)

@@ -205,7 +205,18 @@ def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
                 = -tx_i * rowsum(w) + (w @ s_pos)_i
       — one [cap,cap]x[cap,3] matmul replaces 6 full-tile VPU ops.
     """
-    def kernel(tgt_ref, src_hbm, out_ref, buf, sems):
+    def kernel(flag_ref, tgt_ref, src_hbm, out_ref, buf, sems):
+        # activity gate [G2: timestep.c individual timesteps — "inactive
+        # particles cost nothing"]: tiles with no active targets skip the
+        # whole 27-source sweep; the caller restores the frozen acc.
+        # flag_ref: scalar-prefetch [C] int32 in SMEM.
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        @pl.when(flag_ref[pl.program_id(0)] > 0)
+        def _gated():
+            _run_tile(tgt_ref, src_hbm, out_ref, buf, sems)
+
+    def _run_tile(tgt_ref, src_hbm, out_ref, buf, sems):
         c = pl.program_id(0)
         t = tgt_ref[0]
         n = n_cells
@@ -251,12 +262,27 @@ def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
             dz = t[2, :][:, None] - sz[None, :]
             r2 = dx * dx + dy * dy + dz * dz
             rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
-            r = r2 * rinv
-            hh = jnp.maximum(t[4, :][:, None], s[4, :][None, :])
-            hhinv = jnp.minimum(t[6, :][:, None], s[6, :][None, :])
-            fac = _grav_fac_nodiv(r, rinv, hh, hhinv)
+
+            # tile-level softening skip: the force softening h (~2.8 eps)
+            # is far below the cell edge, so in uniform regimes no pair in
+            # the tile is softened — branch once per tile, not per pair
+            # [G2: forcetree.c evaluates the spline per pair regardless].
+            hmax = jnp.maximum(jnp.max(t[4, :]), jnp.max(s[4, :]))
+            r2min = jnp.min(jnp.where(r2 > 0.0, r2, 1e37))
+
+            def fac_softened(_):
+                r = r2 * rinv
+                hh = jnp.maximum(t[4, :][:, None], s[4, :][None, :])
+                hhinv = jnp.minimum(t[6, :][:, None], s[6, :][None, :])
+                return _grav_fac_nodiv(r, rinv, hh, hhinv)
+
+            def fac_plain(_):
+                return rinv * rinv * rinv
+
+            fac = jax.lax.cond(r2min < hmax * hmax, fac_softened,
+                               fac_plain, operand=None)
             if asmth > 0.0:
-                fac = fac * _shortrange_trunc_pallas(r, asmth)
+                fac = fac * _shortrange_trunc_pallas(r2 * rinv, asmth)
             ok = (r2 < rcut * rcut) & (r2 > 0.0) & (s[5, :][None, :] > 0.0)
             if not periodic:
                 _, valid = _nbr_cid_traced(c, j, n_cells, periodic)
@@ -274,9 +300,16 @@ def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
         out_ref[0, 0, :] = ax
         out_ref[0, 1, :] = ay
         out_ref[0, 2, :] = az
-        out_ref[0, 3:, :] = jnp.zeros((5, cap), t.dtype)
 
     return kernel
+
+
+def cell_activity_flags(cl: CellList, active):
+    """[C] int32: 1 where a cell holds any active particle — the
+    tile-skip gate for individual timesteps [G2: timestep.c active list]."""
+    idx = jnp.maximum(cl.cells, 0)
+    act = (cl.cells >= 0) & active[idx]
+    return jnp.any(act, axis=1).astype(jnp.int32)
 
 
 @partial(hybrid_jit, static_argnames=("box", "n_cells", "capacity", "periodic",
@@ -284,28 +317,38 @@ def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
 def shortrange_gravity_pallas_dma(
     pos, mass, soft, alive, box: float, n_cells: int, capacity: int = 128,
     asmth: float = 0.0, rcut: float = 1e30, periodic: bool = True,
+    active=None,
 ):
     """DMA-pipelined variant of shortrange_gravity_pallas (TPU only —
-    no interpret mode for manual DMA)."""
+    no interpret mode for manual DMA). With ``active`` (per-particle
+    bool), tiles holding no active target skip their sweep and return
+    zeros there — callers keep the frozen acc for inactive particles."""
     cl = build_cell_list(pos, alive, 0.0, box, n_cells=n_cells,
                          capacity=capacity, periodic=periodic)
     soa = pack_cells_soa(cl, pos, mass, soft, alive)
     c, _, cap = soa.shape
+    if active is None:
+        flags = jnp.ones((c,), jnp.int32)
+    else:
+        flags = cell_activity_flags(cl, active)
 
     out = pl.pallas_call(
         _make_kernel_dma(float(box), asmth, rcut, periodic, n_cells, cap),
-        grid=(c,),
-        in_specs=[
-            pl.BlockSpec((1, 8, cap), lambda ci: (ci, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, 8, cap), lambda ci: (ci, 0, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(c,),
+            in_specs=[
+                pl.BlockSpec((1, 8, cap), lambda ci, *_: (ci, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, cap), lambda ci, *_: (ci, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, cap), soa.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((c, 8, cap), soa.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, 8, cap), soa.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )(soa, soa)
+    )(flags, soa, soa)
 
     idx = jnp.maximum(cl.cells, 0)
     valid = cl.cells >= 0

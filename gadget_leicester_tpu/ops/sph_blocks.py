@@ -1,0 +1,606 @@
+"""Block-packed SPH cell-pair kernels — the round-2 speed path.
+
+The round-1 Pallas SPH kernels [ops/pallas_cells.py] size cells for tile
+occupancy (~100 particles -> cell edge ~4.6 interparticle spacings), but
+the SPH smoothing length is only ~2 spacings, so of each 27-cell stencil
+sweep only ~1.2% of pair slots are inside the kernel support — the rest
+is masked VPU work. This module shrinks the candidate volume 3.4x:
+
+* particles are binned into FINE subcells (edge ~2.9 spacings, capacity
+  ``subcap``), packed 2x2x2 into tiles of ``8 * subcap`` lanes;
+* an EVEN packing (blocks at subcells {2b, 2b+1}) holds targets;
+* an ODD packing (blocks at subcells {2w-1, 2w}, the grid shifted by one
+  subcell) holds sources: the source region of target block b — subcells
+  [2b-1, 2b+2] per axis — is EXACTLY the eight odd blocks w in {b, b+1}^3,
+  so each target tile streams 8 source tiles instead of 27;
+* pairwise geometry uses the per-pair minimum image (the odd packing wraps
+  subcells across the box, so per-tile shifts don't exist).
+
+Correctness requires h <= subcell edge (both ends of a pair), enforced by
+the max_hsml cap exactly as the coarse path caps at the cell edge.
+
+Rebuild of [G2: ngb.c neighbour search + density.c/hydra.c sweep loops];
+the even/odd dual packing replaces the reference's tree-walk neighbour
+lists with a TPU-tileable static structure.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gadget_leicester_tpu.ops.jit_util import hybrid_jit
+from gadget_leicester_tpu.ops.neighbors import CellList
+
+
+def build_block_lists(pos, mask, origin, extent, n_blocks: int,
+                      subcap: int, periodic: bool):
+    """Bin into a (2*n_blocks)^3 fine grid; return (even, odd) CellLists
+    whose ``cells`` are [B, 8*subcap] tiles (lane = subcell*subcap + rank).
+
+    One sort serves both packings: ranks are within FINE subcells, which
+    even and odd blocks merely regroup. Overflow = any fine cell > subcap.
+    """
+    n = pos.shape[0]
+    m = 2 * n_blocks
+    nb = n_blocks
+    origin = jnp.broadcast_to(jnp.asarray(origin, pos.dtype), (3,))
+    extent = jnp.broadcast_to(jnp.asarray(extent, pos.dtype), (3,))
+    inv_cell = m / extent
+    rel = (pos - origin) * inv_cell
+    coords = jnp.floor(rel).astype(jnp.int32)
+    if periodic:
+        coords = jnp.mod(coords, m)
+    else:
+        coords = jnp.clip(coords, 0, m - 1)
+    cid_f = (coords[..., 0] * m + coords[..., 1]) * m + coords[..., 2]
+    total_f = m**3
+    cid_sort = jnp.where(mask, cid_f, total_f)
+    order = jnp.argsort(cid_sort)
+    cid_sorted = cid_sort[order]
+    first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (rank < subcap) & (cid_sorted < total_f)
+
+    c_sorted = coords[order]
+
+    def pack(c, nb_eff):
+        """c: [N,3] fine coords (possibly shifted); returns flat block id
+        and lane for each sorted particle."""
+        b = c >> 1
+        s = c & 1
+        bid = (b[:, 0] * nb_eff + b[:, 1]) * nb_eff + b[:, 2]
+        sub = (s[:, 0] * 2 + s[:, 1]) * 2 + s[:, 2]
+        return bid, sub * subcap + rank
+
+    lanes = 8 * subcap
+    # even packing
+    bid_e, lane_e = pack(c_sorted, nb)
+    n_e = nb**3
+    cells_e = jnp.full((n_e + 1, lanes), -1, jnp.int32)
+    cells_e = cells_e.at[
+        jnp.where(ok, bid_e, n_e), jnp.where(ok, lane_e, 0)
+    ].set(jnp.where(ok, order.astype(jnp.int32), -1), mode="drop")
+
+    # odd packing: shift fine coords by +1 (block w holds {2w-1, 2w})
+    if periodic:
+        c_o = jnp.mod(c_sorted + 1, m)
+        nb_o = nb
+    else:
+        c_o = c_sorted + 1
+        nb_o = nb + 1
+    bid_o, lane_o = pack(c_o, nb_o)
+    n_o = nb_o**3
+    cells_o = jnp.full((n_o + 1, lanes), -1, jnp.int32)
+    cells_o = cells_o.at[
+        jnp.where(ok, bid_o, n_o), jnp.where(ok, lane_o, 0)
+    ].set(jnp.where(ok, order.astype(jnp.int32), -1), mode="drop")
+
+    counts = jnp.zeros((total_f + 1,), jnp.int32).at[cid_sorted].add(1)
+    overflow = jnp.any(counts[:total_f] > subcap)
+
+    def mk(cells, nb_):
+        return CellList(cells=cells, cell_of=cid_f, counts=counts[:total_f],
+                        overflow=overflow, origin=origin, inv_cell=inv_cell,
+                        n_cells=nb_, periodic=periodic)
+
+    return mk(cells_e[:n_e], nb), mk(cells_o[:n_o], nb_o)
+
+
+def _src_block_traced(b, g, nb, periodic):
+    """Flat odd-block id of source g (0..7) for even target block b."""
+    bx = b // (nb * nb)
+    rem = b % (nb * nb)
+    by, bz = rem // nb, rem % nb
+    gx, gy, gz = g >> 2, (g >> 1) & 1, g & 1
+    if periodic:
+        ox, oy, oz = (bx + gx) % nb, (by + gy) % nb, (bz + gz) % nb
+        nb_o = nb
+    else:
+        # odd grid has nb+1 blocks per axis; b+g is always in range
+        ox, oy, oz = bx + gx, by + gy, bz + gz
+        nb_o = nb + 1
+    return (ox * nb_o + oy) * nb_o + oz
+
+
+def _pair_geom_minimage(t, s, box, periodic):
+    dx = t[0, :][:, None] - s[0, :][None, :]
+    dy = t[1, :][:, None] - s[1, :][None, :]
+    dz = t[2, :][:, None] - s[2, :][None, :]
+    if periodic:
+        dx = dx - box * jnp.round(dx * (1.0 / box))
+        dy = dy - box * jnp.round(dy * (1.0 / box))
+        dz = dz - box * jnp.round(dz * (1.0 / box))
+    r2 = dx * dx + dy * dy + dz * dz
+    rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
+    return dx, dy, dz, r2 * rinv, rinv
+
+
+def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool):
+    from gadget_leicester_tpu.ops.sph_kernels import (kernel_dw_dr,
+                                                      kernel_w_and_dwdh)
+
+    def compute(t, ht, s, acc):
+        rho, drhodh, divv, rx, ry, rz = acc
+        dx, dy, dz, r, rinv = _pair_geom_minimage(t, s, box, periodic)
+        w, dwdh = kernel_w_and_dwdh(r, ht)
+        dwdr = kernel_dw_dr(r, ht)
+        m = s[3, :][None, :]
+        fac = m * dwdr * rinv
+        dvx = t[4, :][:, None] - s[4, :][None, :]
+        dvy = t[5, :][:, None] - s[5, :][None, :]
+        dvz = t[6, :][:, None] - s[6, :][None, :]
+        vdotr = dvx * dx + dvy * dy + dvz * dz
+        return (rho + jnp.sum(m * w, axis=1),
+                drhodh + jnp.sum(m * dwdh, axis=1),
+                divv - jnp.sum(fac * vdotr, axis=1),
+                rx + jnp.sum(fac * (dvy * dz - dvz * dy), axis=1),
+                ry + jnp.sum(fac * (dvz * dx - dvx * dz), axis=1),
+                rz + jnp.sum(fac * (dvx * dy - dvy * dx), axis=1))
+
+    if dma:
+        def run_tile(tgt_ref, h_ref, src_hbm, out_ref, buf, sems):
+            b = pl.program_id(0)
+            t = tgt_ref[0]
+            ht = h_ref[0, 0, :][:, None]
+
+            def dma_g(g, slot):
+                sid = _src_block_traced(b, g, nb, periodic)
+                return pltpu.make_async_copy(src_hbm.at[sid], buf.at[slot],
+                                             sems.at[slot])
+
+            dma_g(0, 0).start()
+
+            def body(g, acc):
+                slot = jax.lax.rem(g, 2)
+                nxt = jax.lax.rem(g + 1, 2)
+
+                @pl.when(g + 1 < 8)
+                def _():
+                    dma_g(g + 1, nxt).start()
+
+                dma_g(g, slot).wait()
+                return compute(t, ht, buf[slot], acc)
+
+            z = jnp.zeros((lanes,), jnp.float32)
+            rho, drhodh, divv, rx, ry, rz = jax.lax.fori_loop(
+                0, 8, body, (z, z, z, z, z, z))
+            out_ref[0, 0, :] = rho
+            out_ref[0, 1, :] = drhodh
+            out_ref[0, 2, :] = divv
+            out_ref[0, 3, :] = rx
+            out_ref[0, 4, :] = ry
+            out_ref[0, 5, :] = rz
+
+        def kernel(flag_ref, tgt_ref, h_ref, src_hbm, out_ref, buf, sems):
+            # activity gate: no active gas target in this block -> skip.
+            # flag_ref: scalar-prefetch [B] int32 in SMEM.
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+            @pl.when(flag_ref[pl.program_id(0)] > 0)
+            def _gated():
+                run_tile(tgt_ref, h_ref, src_hbm, out_ref, buf, sems)
+
+        return kernel
+
+    def kernel_grid(flag_ref, tgt_ref, src_ref, h_ref, out_ref):
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        @pl.when(flag_ref[pl.program_id(0)] > 0)
+        def _gated():
+            t = tgt_ref[0]
+            ht = h_ref[0, 0, :][:, None]
+            acc = (out_ref[0, 0, :], out_ref[0, 1, :], out_ref[0, 2, :],
+                   out_ref[0, 3, :], out_ref[0, 4, :], out_ref[0, 5, :])
+            rho, drhodh, divv, rx, ry, rz = compute(t, ht, src_ref[0], acc)
+            out_ref[0, 0, :] = rho
+            out_ref[0, 1, :] = drhodh
+            out_ref[0, 2, :] = divv
+            out_ref[0, 3, :] = rx
+            out_ref[0, 4, :] = ry
+            out_ref[0, 5, :] = rz
+
+    return kernel_grid
+
+
+def _src_index_fn(nb, periodic):
+    def src_index(bi, g):
+        bx = bi // (nb * nb)
+        rem = bi % (nb * nb)
+        by, bz = rem // nb, rem % nb
+        gx, gy, gz = g >> 2, (g >> 1) & 1, g & 1
+        if periodic:
+            ox, oy, oz = (bx + gx) % nb, (by + gy) % nb, (bz + gz) % nb
+            nb_o = nb
+        else:
+            ox, oy, oz = bx + gx, by + gy, bz + gz
+            nb_o = nb + 1
+        return ((ox * nb_o + oy) * nb_o + oz, 0, 0)
+    return src_index
+
+
+def density_sums_blocks(cl_e: CellList, soa_e, soa_o, h_slots, box: float,
+                        interpret: bool = False, flags=None):
+    """Density sweep on block tiles. soa_e/soa_o: [B,8,lanes]/[Bo,8,lanes]
+    from pack_sph_soa on the even/odd lists; h_slots [B, lanes]. Returns
+    [B, 8, lanes] rows (rho, drhodh, divv, rot xyz). ``flags`` [B,1] int32
+    gates tiles (DMA path only; None = all on)."""
+    b, _, lanes = soa_e.shape
+    nb = cl_e.n_cells
+    periodic = cl_e.periodic
+    if flags is None:
+        flags = jnp.ones((b,), jnp.int32)
+    if interpret:
+        src_ix = _src_index_fn(nb, periodic)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, 8),
+            in_specs=[
+                pl.BlockSpec((1, 8, lanes), lambda bi, g, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 8, lanes), lambda bi, g, *_: src_ix(bi, g)),
+                pl.BlockSpec((1, 1, lanes), lambda bi, g, *_: (bi, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, lanes),
+                                   lambda bi, g, *_: (bi, 0, 0)),
+        )
+        return pl.pallas_call(
+            _make_density_block_kernel(float(box), periodic, nb, lanes,
+                                       dma=False),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_e.dtype),
+            interpret=True,
+        )(flags, soa_e, soa_o, h_slots.reshape(b, 1, lanes))
+    return pl.pallas_call(
+        _make_density_block_kernel(float(box), periodic, nb, lanes, dma=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, lanes), lambda bi, *_: (bi, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, lanes), soa_e.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_e.dtype),
+    )(flags, soa_e, h_slots.reshape(b, 1, lanes), soa_o)
+
+
+def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
+                             dma: bool):
+    from gadget_leicester_tpu.ops.sph_kernels import kernel_dw_dr
+
+    def compute(params, ta, tb, s16, acc):
+        # s16 rows: 0-7 = soa_a (x,y,z,m,vx,vy,vz,h);
+        #           8-12 = soa_b (rho, p_over_rho2*f, c+..., balsara, valid)
+        hubble_a2_flow, fac_mu = params
+        ax_a, ay_a, az_a, dte, msv_a = acc
+        sa = s16[:8]
+        dx, dy, dz, r, rinv = _pair_geom_minimage(ta, sa, box, periodic)
+        ht = ta[7, :][:, None]
+        hs = sa[7, :][None, :]
+        inside = (r < jnp.maximum(ht, hs)) & (r > 0.0)
+        inside = inside & (s16[12, :][None, :] > 0.0)
+        dwk_i = kernel_dw_dr(r, ht)
+        dwk_j = kernel_dw_dr(r, hs)
+        dvx = ta[4, :][:, None] - sa[4, :][None, :]
+        dvy = ta[5, :][:, None] - sa[5, :][None, :]
+        dvz = ta[6, :][:, None] - sa[6, :][None, :]
+        r2 = r * r
+        vdotr2 = dvx * dx + dvy * dy + dvz * dz + hubble_a2_flow * r2
+        approaching = vdotr2 < 0.0
+        mu_ij = fac_mu * vdotr2 * rinv
+        vsig = tb[2, :][:, None] + s16[10, :][None, :] \
+            - 3.0 * jnp.where(approaching, mu_ij, 0.0)
+        rho_ij = 0.5 * (tb[0, :][:, None] + s16[8, :][None, :])
+        rs = jax.lax.rsqrt(jnp.maximum(rho_ij, 1e-37))
+        rho_ij_inv = rs * rs
+        f_ij = 0.5 * (tb[3, :][:, None] + s16[11, :][None, :])
+        # 0.5 * visc_const * f_ij with f_ij = (f1+f2)/2 == the reference's
+        # 0.25 * ArtBulkViscConst * (f1+f2) [G2: hydra.c, Springel05 eq.14]
+        visc = jnp.where(approaching,
+                         0.5 * visc_const * vsig * (-mu_ij)
+                         * rho_ij_inv * f_ij, 0.0)
+        m = sa[3, :][None, :]
+        hfc_visc = 0.5 * m * visc * (dwk_i + dwk_j) * rinv
+        hfc = hfc_visc + m * (tb[1, :][:, None] * dwk_i
+                              + s16[9, :][None, :] * dwk_j) * rinv
+        mask = jnp.where(inside, 1.0, 0.0)
+        hfc = hfc * mask
+        hfc_visc = hfc_visc * mask
+        msv = jnp.max(jnp.where(inside, vsig, 0.0), axis=1)
+        return (ax_a - jnp.sum(hfc * dx, axis=1),
+                ay_a - jnp.sum(hfc * dy, axis=1),
+                az_a - jnp.sum(hfc * dz, axis=1),
+                dte + 0.5 * jnp.sum(hfc_visc * vdotr2, axis=1),
+                jnp.maximum(msv_a, msv))
+
+    if dma:
+        def run_tile(params_ref, tgt_a, tgt_b, src_hbm, out_ref, buf, sems):
+            params = (params_ref[0, 0], params_ref[0, 1])
+            b = pl.program_id(0)
+            ta, tb = tgt_a[0], tgt_b[0]
+
+            def dma_g(g, slot):
+                sid = _src_block_traced(b, g, nb, periodic)
+                return pltpu.make_async_copy(src_hbm.at[sid], buf.at[slot],
+                                             sems.at[slot])
+
+            dma_g(0, 0).start()
+
+            def body(g, acc):
+                slot = jax.lax.rem(g, 2)
+                nxt = jax.lax.rem(g + 1, 2)
+
+                @pl.when(g + 1 < 8)
+                def _():
+                    dma_g(g + 1, nxt).start()
+
+                dma_g(g, slot).wait()
+                return compute(params, ta, tb, buf[slot], acc)
+
+            z = jnp.zeros((lanes,), jnp.float32)
+            ax, ay, az, dte, msv = jax.lax.fori_loop(
+                0, 8, body, (z, z, z, z, z))
+            out_ref[0, 0, :] = ax
+            out_ref[0, 1, :] = ay
+            out_ref[0, 2, :] = az
+            out_ref[0, 3, :] = dte
+            out_ref[0, 4, :] = msv
+
+        def kernel(flag_ref, params_ref, tgt_a, tgt_b, src_hbm, out_ref,
+                   buf, sems):
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+            @pl.when(flag_ref[pl.program_id(0)] > 0)
+            def _gated():
+                run_tile(params_ref, tgt_a, tgt_b, src_hbm, out_ref,
+                         buf, sems)
+
+        return kernel
+
+    def kernel_grid(flag_ref, params_ref, tgt_a, tgt_b, src_ref, out_ref):
+        params = (params_ref[0, 0], params_ref[0, 1])
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        @pl.when(flag_ref[pl.program_id(0)] > 0)
+        def _gated():
+            acc = (out_ref[0, 0, :], out_ref[0, 1, :], out_ref[0, 2, :],
+                   out_ref[0, 3, :], out_ref[0, 4, :])
+            ax, ay, az, dte, msv = compute(params, tgt_a[0], tgt_b[0],
+                                           src_ref[0], acc)
+            out_ref[0, 0, :] = ax
+            out_ref[0, 1, :] = ay
+            out_ref[0, 2, :] = az
+            out_ref[0, 3, :] = dte
+            out_ref[0, 4, :] = msv
+
+    return kernel_grid
+
+
+def hydro_sums_blocks(cl_e: CellList, soa_a, soa_b, src16, box: float,
+                      visc_const: float, hubble_a2_flow, fac_mu,
+                      interpret: bool = False, flags=None):
+    """Hydro sweep on block tiles. soa_a/soa_b: even [B,8,lanes];
+    src16: odd [Bo,16,lanes] (rows 0-7 = a, 8-12 = b). Output rows:
+    ax, ay, az, dt_ent_raw, max_signal_vel. ``flags`` [B,1] gates tiles
+    (DMA path only)."""
+    b, _, lanes = soa_a.shape
+    nb = cl_e.n_cells
+    periodic = cl_e.periodic
+    params = jnp.stack([jnp.asarray(hubble_a2_flow, soa_a.dtype),
+                        jnp.asarray(fac_mu, soa_a.dtype)]).reshape(1, 2)
+    if flags is None:
+        flags = jnp.ones((b,), jnp.int32)
+    if interpret:
+        src_ix = _src_index_fn(nb, periodic)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, 8),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda bi, g, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8, lanes), lambda bi, g, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 8, lanes), lambda bi, g, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 16, lanes),
+                             lambda bi, g, *_: src_ix(bi, g)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, lanes),
+                                   lambda bi, g, *_: (bi, 0, 0)),
+        )
+        return pl.pallas_call(
+            _make_hydro_block_kernel(float(box), periodic, nb, lanes,
+                                     float(visc_const), dma=False),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_a.dtype),
+            interpret=True,
+        )(flags, params, soa_a, soa_b, src16)
+    return pl.pallas_call(
+        _make_hydro_block_kernel(float(box), periodic, nb, lanes,
+                                 float(visc_const), dma=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda bi, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, lanes), soa_a.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_a.dtype),
+    )(flags, params, soa_a, soa_b, src16)
+
+
+def density_adaptive_blocks(
+    pos, vel, mass, hsml0, gas_mask,
+    des_num_ngb: float, max_dev: float,
+    box: float, n_blocks: int, subcap: int = 32,
+    min_hsml: float = 0.0, max_hsml=None,
+    periodic: bool = True, max_iters: int = 40,
+    origin=0.0, extent=None, interpret: bool = False,
+    active=None,
+):
+    """Adaptive-h density on the block kernels (API mirrors
+    pallas_cells.density_adaptive_pallas; returns (DensityResult,
+    (cl_even, cl_odd)) — the pair is reused by hydro_force_blocks).
+
+    ``active`` (per-particle bool, None = all): only active targets are
+    solved; tiles with no active target skip their sweeps entirely and
+    return zeros there — the caller keeps drift-predicted fields for
+    inactive particles [G2: density.c computes only the active list]."""
+    from gadget_leicester_tpu.ops.pallas_cells import pack_sph_soa
+    from gadget_leicester_tpu.ops.sph_dense import (DensityResult,
+                                                    density_adaptive_generic)
+
+    extent = box if extent is None else extent
+    cl_e, cl_o = build_block_lists(pos, gas_mask, origin, extent,
+                                   n_blocks=n_blocks, subcap=subcap,
+                                   periodic=periodic)
+    ng = pos.shape[0]
+    b, lanes = cl_e.cells.shape
+
+    ones = jnp.ones(ng, pos.dtype)
+    soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask)
+    soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask)
+    idx = jnp.maximum(cl_e.cells, 0)
+    valid = (cl_e.cells >= 0) & gas_mask[idx]
+    if active is not None:
+        valid = valid & active[idx]
+        from gadget_leicester_tpu.ops.pallas_cells import cell_activity_flags
+        flags = cell_activity_flags(cl_e, active & gas_mask)
+    else:
+        flags = None
+    mass_slots = soa_e[:, 3, :].reshape(-1)
+    mask_slots = valid.reshape(-1)
+    h0_slots = jnp.where(valid, hsml0[idx], 1.0).reshape(-1)
+
+    def sweep(h_slots):
+        out = density_sums_blocks(cl_e, soa_e, soa_o,
+                                  h_slots.reshape(b, lanes), box,
+                                  interpret=interpret, flags=flags)
+        rho = out[:, 0, :].reshape(-1)
+        drhodh = out[:, 1, :].reshape(-1)
+        divv = out[:, 2, :].reshape(-1)
+        rot = jnp.stack([out[:, 3, :].reshape(-1), out[:, 4, :].reshape(-1),
+                         out[:, 5, :].reshape(-1)], axis=-1)
+        return rho, drhodh, divv, rot
+
+    res_slots = density_adaptive_generic(
+        sweep, mass_slots, h0_slots, mask_slots, des_num_ngb, max_dev,
+        min_hsml=min_hsml, max_hsml=max_hsml, max_iters=max_iters)
+
+    flat_idx = jnp.where(mask_slots, idx.reshape(-1), ng)
+
+    def to_part(x_slots, fill=0.0):
+        return jnp.full((ng + 1,), fill, x_slots.dtype).at[flat_idx].set(
+            x_slots, mode="drop")[:ng]
+
+    res = DensityResult(
+        rho=to_part(res_slots.rho),
+        dhsml_factor=to_part(res_slots.dhsml_factor, 1.0),
+        div_vel=to_part(res_slots.div_vel),
+        curl_vel=to_part(res_slots.curl_vel),
+        num_ngb_eff=to_part(res_slots.num_ngb_eff),
+        hsml=to_part(res_slots.hsml, 1.0),
+        iters=res_slots.iters,
+    )
+    return res, (cl_e, cl_o)
+
+
+def hydro_force_blocks(
+    cls, pos, vel, mass, hsml, rho, pressure, dhsml_factor,
+    div_vel, curl_vel, gas_mask, visc_const: float, box: float,
+    hubble_a2_flow=0.0, hubble_a2_norm=1.0, fac_mu=1.0,
+    interpret: bool = False, active=None,
+):
+    """Entropy-form hydro force on block tiles; cls = (cl_even, cl_odd)
+    from density_adaptive_blocks. [G2: hydra.c :: hydro_evaluate()]"""
+    from gadget_leicester_tpu.core.config import GAMMA, GAMMA_MINUS1
+    from gadget_leicester_tpu.ops.pallas_cells import (pack_sph_soa,
+                                                       scatter_cell_rows)
+    from gadget_leicester_tpu.ops.sph_dense import HydroResult
+
+    cl_e, cl_o = cls
+    ng = pos.shape[0]
+    rho_safe = jnp.where(rho > 0, rho, 1.0)
+    c_snd = jnp.sqrt(GAMMA * pressure / rho_safe)
+    p_over_rho2 = pressure / rho_safe**2 * dhsml_factor
+    h_safe = jnp.where(hsml > 0, hsml, 1.0)
+    balsara = jnp.abs(div_vel) / (
+        jnp.abs(div_vel) + curl_vel + 1e-4 * c_snd / h_safe / fac_mu)
+
+    soa_a = pack_sph_soa(cl_e, pos, vel, mass, hsml, gas_mask)
+
+    def soa_b_of(cl):
+        idx = jnp.maximum(cl.cells, 0)
+        valid = ((cl.cells >= 0) & gas_mask[idx]).astype(pos.dtype)
+        zero = jnp.zeros_like(valid)
+        return jnp.stack([rho[idx], p_over_rho2[idx], c_snd[idx],
+                          balsara[idx], valid, zero, zero, zero], axis=1)
+
+    soa_b = soa_b_of(cl_e)
+    src_a = pack_sph_soa(cl_o, pos, vel, mass, hsml, gas_mask)
+    src16 = jnp.concatenate([src_a, soa_b_of(cl_o)], axis=1)
+
+    if active is not None:
+        from gadget_leicester_tpu.ops.pallas_cells import cell_activity_flags
+        flags = cell_activity_flags(cl_e, active & gas_mask)
+    else:
+        flags = None
+    out = hydro_sums_blocks(cl_e, soa_a, soa_b, src16, box, visc_const,
+                            hubble_a2_flow, fac_mu, interpret=interpret,
+                            flags=flags)
+    ax, ay, az, dt_raw, msv = scatter_cell_rows(cl_e, out, ng,
+                                                rows=(0, 1, 2, 3, 4))
+    acc = jnp.stack([ax, ay, az], axis=-1)
+    dt_ent = dt_raw * GAMMA_MINUS1 / (
+        jnp.asarray(hubble_a2_norm, rho.dtype) * rho_safe**GAMMA_MINUS1)
+    gm = gas_mask
+    return HydroResult(
+        acc=jnp.where(gm[:, None], acc, 0.0),
+        dt_entropy=jnp.where(gm, dt_ent, 0.0),
+        max_signal_vel=jnp.where(gm, msv, 0.0),
+    )
