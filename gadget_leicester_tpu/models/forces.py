@@ -228,6 +228,83 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
     return acc_sr, pot, overflow, acc_pm
 
 
+def compute_potential(state: SimState, cfg: SimConfig,
+                      opts: SimOptions) -> SimState:
+    """On-demand FULL gravitational potential for every particle —
+    rebuild of [G2: potential.c :: compute_potential()], which the
+    reference likewise runs only when diagnostics or snapshots need it.
+
+    TreePM: PM mesh potential + erfc-truncated softened short-range sum
+    (the in-step p.pot carries only the PM part). Tree/direct backends
+    already produce the full potential; this recomputes it at the
+    current positions."""
+    p = state.p
+    fac = comoving_factors(cfg, state.ti_current)
+    if opts.nogravity:
+        return state
+    eps = softening_table(cfg, fac.atime)
+    soft = SOFTFAC * eps[p.ptype]
+    if opts.adaptive_gravsoft_forgas and state.gas.n_gas_max > 1:
+        ng_ = state.gas.n_gas_max
+        gas_soft = jnp.maximum(state.gas.hsml, SOFTFAC * eps[0])
+        soft = soft.at[:ng_].set(
+            jnp.where(p.ptype[:ng_] == 0, gas_soft, soft[:ng_]))
+
+    mode = opts.gravity_mode
+    if mode == "auto":
+        if opts.periodic:
+            mode = "treepm" if opts.pmgrid > 0 else "tree"
+        else:
+            mode = "direct" if p.n_max <= opts.direct_threshold else "tree"
+
+    if mode == "treepm":
+        from gadget_leicester_tpu.ops.pm import (ASMTH, RCUT,
+                                                 pm_potential_periodic)
+        box = cfg.box_size
+        g = opts.pmgrid
+        asmth_len = ASMTH * box / g
+        rcut = RCUT * asmth_len
+        n_cells = max(3, int(box / rcut))
+        pot_pm = pm_potential_periodic(p.pos, p.mass, p.alive, box, g)
+        use_pallas = opts.use_pallas == "on" or (
+            opts.use_pallas == "auto" and jax.default_backend() == "tpu")
+        if use_pallas:
+            from gadget_leicester_tpu.ops.pallas_cells import \
+                shortrange_gravity_pallas_dma
+            cap = opts.sr_capacity if opts.sr_capacity > 0 else 128
+            cap = max(128, ((cap + 127) // 128) * 128)
+            _, pot_sr, _ = shortrange_gravity_pallas_dma(
+                p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
+                capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
+                periodic=True, with_potential=True)
+        else:
+            from gadget_leicester_tpu.ops.gravity_short import \
+                shortrange_gravity_cells
+            from gadget_leicester_tpu.ops.neighbors import build_cell_list
+            if opts.sr_capacity > 0:
+                cap = opts.sr_capacity
+            else:
+                cap = max(64, int(8 * p.n_max / n_cells**3))
+            cl = build_cell_list(p.pos, p.alive, 0.0, box, n_cells=n_cells,
+                                 capacity=cap, periodic=True)
+            _, pot_sr = shortrange_gravity_cells(
+                cl, p.pos, p.mass, soft, p.alive, asmth_len, rcut, box=box,
+                periodic=True, with_potential=True)
+        # remove the PM self-term: the mesh potential includes each
+        # particle's own smoothed cloud, phi_self = -m/(sqrt(pi) asmth)
+        # [G2: potential.c PM self-energy correction]
+        pot = pot_pm + pot_sr + p.mass / (jnp.sqrt(jnp.pi) * asmth_len)
+    elif mode == "tree":
+        _, pot = _tree_gravity(state, cfg, opts, soft)
+    else:
+        _, pot = direct_gravity(p.pos, p.mass, soft, p.alive,
+                                box=cfg.box_size, periodic=opts.periodic)
+    pot = pot * cfg.grav_internal
+    pot = jnp.where(p.alive, pot, 0.0)
+    return dataclasses.replace(
+        state, p=dataclasses.replace(p, pot=pot))
+
+
 def _tree_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
     """Barnes-Hut tree gravity — vacuum, or periodic-without-PM with the
     tabulated Ewald correction [G2: force_treeevaluate_ewald_correction]."""
@@ -387,15 +464,20 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         )
     # merge: active gas takes the fresh solve; inactive keeps the
     # drift-forecast fields [G2: predict.c drift_particle] so pair sources
-    # and stored state stay the frozen-step values.
+    # and stored state stay the frozen-step values. A particle DROPPED by
+    # an over-capacity cell comes back with rho==0 — keep its forecast
+    # instead of poisoning downstream physics (the entropy floor divides
+    # by rho^(gamma-1)); the overflow flag tells the host to re-run with
+    # bigger capacity [G2: the realloc-on-overflow bunching of gravtree.c].
+    take = active_g & (dres.rho > 0)
     dres = dres._replace(
-        rho=jnp.where(active_g, dres.rho, gas.density),
-        hsml=jnp.where(active_g, dres.hsml, gas.hsml),
-        dhsml_factor=jnp.where(active_g, dres.dhsml_factor,
+        rho=jnp.where(take, dres.rho, gas.density),
+        hsml=jnp.where(take, dres.hsml, gas.hsml),
+        dhsml_factor=jnp.where(take, dres.dhsml_factor,
                                gas.dhsml_density_factor),
-        div_vel=jnp.where(active_g, dres.div_vel, gas.div_vel),
-        curl_vel=jnp.where(active_g, dres.curl_vel, gas.curl_vel),
-        num_ngb_eff=jnp.where(active_g, dres.num_ngb_eff, gas.num_ngb),
+        div_vel=jnp.where(take, dres.div_vel, gas.div_vel),
+        curl_vel=jnp.where(take, dres.curl_vel, gas.curl_vel),
+        num_ngb_eff=jnp.where(take, dres.num_ngb_eff, gas.num_ngb),
     )
 
     # entropy-form pressure P = A_pred rho^gamma [G2: density.c tail]
@@ -447,10 +529,11 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
             pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho, pressure,
             dres.dhsml_factor, dres.div_vel, dres.curl_vel, gas_mask,
             **hydro_kw)
-    # hydro outputs update only active gas (gated tiles returned zeros)
-    hydro_acc = jnp.where(active_g[:, None], hres.acc, gas.hydro_acc)
-    dt_entropy = jnp.where(active_g, hres.dt_entropy, gas.dt_entropy)
-    max_signal_vel = jnp.where(active_g, hres.max_signal_vel,
+    # hydro outputs update only active gas (gated tiles returned zeros);
+    # cell-dropped particles (take==False) keep their frozen values too
+    hydro_acc = jnp.where(take[:, None], hres.acc, gas.hydro_acc)
+    dt_entropy = jnp.where(take, hres.dt_entropy, gas.dt_entropy)
+    max_signal_vel = jnp.where(take, hres.max_signal_vel,
                                gas.max_signal_vel)
     if opts.isotherm_eqs:
         dt_entropy = jnp.zeros_like(dt_entropy)  # entropy fixed (isothermal)

@@ -211,7 +211,11 @@ def advance_and_find_timesteps(state: SimState, cfg: SimConfig,
         from gadget_leicester_tpu.models.forces import comoving_factors
         a3inv_floor = comoving_factors(cfg, ti_now).a3inv
         min_entropy = _min_entropy(cfg, gas.density * a3inv_floor)
-        entropy_new = jnp.maximum(entropy_new, min_entropy)
+        # floor only where a real density exists — a zero (dropped /
+        # never-solved) density would send the floor to infinity
+        entropy_new = jnp.where(gas.density > 0,
+                                jnp.maximum(entropy_new, min_entropy),
+                                entropy_new)
     entropy = jnp.where(active_g, entropy_new, gas.entropy)
 
     ti_beg = jnp.where(active, ti_now, p.ti_begstep)
@@ -223,7 +227,7 @@ def advance_and_find_timesteps(state: SimState, cfg: SimConfig,
 
 
 def pm_step_update(state: SimState, cfg: SimConfig, opts: SimOptions,
-                   is_pm_step) -> SimState:
+                   is_pm_step, axis_name=None) -> SimState:
     """PM-step kick + new PM interval [G2: timestep.c PM part].
 
     At PM steps (ti_current == pm_ti_endstep) ALL particles receive the
@@ -236,10 +240,16 @@ def pm_step_update(state: SimState, cfg: SimConfig, opts: SimOptions,
     ti_now = state.ti_current
     fac = comoving_factors(cfg, ti_now)
 
-    # rms velocity of alive particles (internal units)
+    # rms velocity of alive particles (internal units; psum over the mesh
+    # axis when called inside the SPMD shard_map step)
     m = jnp.where(p.alive, p.mass, 0.0)
     v2 = jnp.sum(p.vel * p.vel, axis=-1)
-    vrms = jnp.sqrt(jnp.sum(m * v2) / jnp.maximum(jnp.sum(m), 1e-37))
+    mv2_sum, m_sum = jnp.sum(m * v2), jnp.sum(m)
+    if axis_name is not None:
+        import jax
+        mv2_sum = jax.lax.psum(mv2_sum, axis_name)
+        m_sum = jax.lax.psum(m_sum, axis_name)
+    vrms = jnp.sqrt(mv2_sum / jnp.maximum(m_sum, 1e-37))
     vrms = jnp.maximum(vrms, 1e-30)
     dsp = cfg.max_rms_displacement_fac * cfg.box_size / max(opts.pmgrid, 1)
     if cfg.comoving_integration_on:

@@ -26,7 +26,8 @@ from gadget_leicester_tpu.core.config import (GAMMA, GAMMA_MINUS1, TIMEBASE,
 from gadget_leicester_tpu.core import timeline
 from gadget_leicester_tpu.core.state import SimState, from_arrays
 from gadget_leicester_tpu.models import integrate
-from gadget_leicester_tpu.models.forces import compute_forces
+from gadget_leicester_tpu.models.forces import (compute_forces,
+                                                compute_potential)
 from gadget_leicester_tpu.models.cooling import apply_cooling
 from gadget_leicester_tpu.models.sinks import accrete_onto_sinks, create_sinks
 
@@ -35,6 +36,13 @@ def _uses_pm_split(opts: SimOptions) -> bool:
     """Does this configuration run the two-timescale TreePM machinery?"""
     return opts.periodic and opts.pmgrid > 0 and not opts.nogravity and \
         opts.gravity_mode in ("auto", "treepm")
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts"))
+def potential_pass(state: SimState, cfg: SimConfig,
+                   opts: SimOptions) -> SimState:
+    """Jitted on-demand full-potential computation [G2: potential.c]."""
+    return compute_potential(state, cfg, opts)
 
 
 @partial(jax.jit, static_argnames=("cfg", "opts"))
@@ -47,6 +55,9 @@ def sync_point_step(state: SimState, cfg: SimConfig, opts: SimOptions) -> SimSta
     steps and all particles receive the PM kick there.
     """
     pm_split = _uses_pm_split(opts)
+    # overflow bits are per-step observations (the host loop reads them at
+    # diagnostics cadence and bumps capacities — recompute-with-bigger)
+    state = dataclasses.replace(state, overflow_flags=jnp.int32(0))
     ti_next = timeline.min_active_ti_end(state.p.ti_endstep, state.p.alive)
     if pm_split:
         ti_next = jnp.minimum(ti_next, state.pm_ti_endstep)
@@ -229,6 +240,8 @@ class Simulation:
         self.state: Optional[SimState] = None
         self.step_count = 0
         self.logs = None            # RunLogs, created on demand
+        self.li_tracker = None      # LayzerIrvineTracker (comoving runs)
+        self.li_drift = 0.0         # latest |dE_LI|/|W|
         self.snapshot_count = 0
         self.next_snapshot_time = cfg.time_of_first_snapshot
         self.next_stats_time = cfg.time_begin
@@ -373,8 +386,46 @@ class Simulation:
             self.logs.log_timings(self.step_count, n_active, dt_wall)
 
             if t_now >= self.next_stats_time:
+                # recompute-with-bigger [G2: gravtree.c realloc-on-overflow
+                # bunching]: the step's overflow bits mean some cell
+                # dropped particles this step — bump the static capacity
+                # (recompiles the step) and continue
+                ovf = int(self.state.overflow_flags)
+                if ovf:
+                    new_opts = self.opts
+                    if ovf & 2:
+                        backend = new_opts.sph_backend
+                        if backend == "auto":
+                            use_pallas = new_opts.use_pallas == "on" or (
+                                new_opts.use_pallas == "auto"
+                                and jax.default_backend() == "tpu")
+                            backend = "blocks" if use_pallas else "cells"
+                        cur = new_opts.sph_capacity or (
+                            32 if backend == "blocks" else 128)
+                        new_opts = dataclasses.replace(
+                            new_opts, sph_capacity=cur * 2)
+                    if ovf & 1:
+                        cur = new_opts.sr_capacity or 128
+                        new_opts = dataclasses.replace(
+                            new_opts, sr_capacity=cur + 128)
+                    self.logs.log_info(
+                        self.step_count, t_now,
+                        0.0, note=f"overflow {ovf}: capacities -> "
+                        f"sph={new_opts.sph_capacity} "
+                        f"sr={new_opts.sr_capacity}")
+                    self.opts = new_opts
+                    opts = new_opts
+                # full potential on demand [G2: potential.c] — the in-step
+                # pot of the TreePM path carries only the PM piece
+                self.state = potential_pass(self.state, cfg, opts)
                 st = energy_statistics(self.state, cfg, opts)
                 self.logs.log_energy(t_now, st)
+                if cfg.comoving_integration_on:
+                    from gadget_leicester_tpu.utils.diagnostics import \
+                        LayzerIrvineTracker
+                    if self.li_tracker is None:
+                        self.li_tracker = LayzerIrvineTracker()
+                    self.li_drift = self.li_tracker.update(t_now, st)
                 self.next_stats_time += cfg.time_bet_statistics
                 if opts.forcetest > 0:
                     from gadget_leicester_tpu.utils.forcetest import (
@@ -388,6 +439,8 @@ class Simulation:
                 due = (t_now >= self.next_snapshot_time
                        and cfg.time_bet_snapshot > 0)
             if due:
+                if opts.output_potential:
+                    self.state = potential_pass(self.state, cfg, opts)
                 snap = snapshot_from_state(
                     self.state, cfg, opts,
                     with_potential=opts.output_potential)

@@ -27,7 +27,8 @@ def _min_image(dx, box):
     return dx - box * jnp.round(dx / box)
 
 
-@partial(hybrid_jit, static_argnames=("block", "periodic"))
+@partial(hybrid_jit, static_argnames=("block", "periodic", "with_potential",
+                                      "n_targets"))
 def shortrange_gravity_cells(
     cl: CellList,
     pos,
@@ -39,8 +40,15 @@ def shortrange_gravity_cells(
     box: float = 0.0,
     block: int = 256,
     periodic: bool = True,
+    with_potential: bool = False,
+    n_targets: int | None = None,
 ):
-    """acc[N,3] (no G factor), erfc-truncated, zero beyond rcut."""
+    """acc[N,3] (no G factor), erfc-truncated, zero beyond rcut.
+    with_potential additionally returns the erfc-truncated softened
+    potential [G2: potential.c with PMGRID]. ``n_targets``: only the
+    first n rows are targets (SPMD slab prefix; ghosts source only)."""
+    from gadget_leicester_tpu.ops.gravity_direct import shortrange_trunc_pot
+    from gadget_leicester_tpu.ops.softening import grav_pot
     src_mass = jnp.where(alive, mass, 0.0)
 
     def pair_fn(idx, tp, cand):
@@ -58,7 +66,18 @@ def shortrange_gravity_cells(
         fac = jnp.where(r < rcut, fac, 0.0)
         w = sm * fac
         acc = -jnp.einsum("bc,bcd->bd", w, dx)
+        if with_potential:
+            pw = grav_pot(r, h) * shortrange_trunc_pot(r, asmth)
+            pw = jnp.where((r < rcut) & (r > 0), pw, 0.0)
+            return (acc, jnp.sum(sm * pw, axis=-1))
         return (acc,)
 
-    (acc,) = apply_pairwise(cl, pos, pair_fn, block=block)
-    return jnp.where(alive[:, None], acc, 0.0)
+    nt = pos.shape[0] if n_targets is None else n_targets
+    if with_potential:
+        acc, pot = apply_pairwise(cl, pos, pair_fn, block=block,
+                                  n_targets=n_targets)
+        return (jnp.where(alive[:nt, None], acc, 0.0),
+                jnp.where(alive[:nt], pot, 0.0))
+    (acc,) = apply_pairwise(cl, pos, pair_fn, block=block,
+                            n_targets=n_targets)
+    return jnp.where(alive[:nt, None], acc, 0.0)

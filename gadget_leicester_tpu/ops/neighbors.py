@@ -37,8 +37,8 @@ class CellList:
     overflow: jnp.ndarray   # bool scalar — any cell over capacity
     origin: jnp.ndarray     # [3] grid origin
     inv_cell: jnp.ndarray   # [3] 1/cell_size
-    n_cells: int            # STATIC per-axis cell count (pytree metadata)
-    periodic: bool          # STATIC (pytree metadata)
+    n_cells: int            # STATIC per-axis count — int (cube) or (nx,ny,nz)
+    periodic: bool          # STATIC — bool or per-axis (px,py,pz) tuple
 
 
 jax.tree_util.register_dataclass(
@@ -48,8 +48,15 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _axes3(v):
+    """Normalise an int/bool or 3-tuple to a 3-tuple (per-axis grids for
+    slab-local SPMD domains: clamped in x, periodic in y/z)."""
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v, v)
+
+
 def _flat_cell_id(coords, n_cells):
-    return (coords[..., 0] * n_cells + coords[..., 1]) * n_cells + coords[..., 2]
+    _, ny, nz = _axes3(n_cells)
+    return (coords[..., 0] * ny + coords[..., 1]) * nz + coords[..., 2]
 
 
 @partial(hybrid_jit, static_argnames=("n_cells", "capacity", "periodic"))
@@ -69,17 +76,19 @@ def build_cell_list(
     capacity — recompute-bigger fallback, SURVEY.md §5).
     """
     n = pos.shape[0]
+    ncv = _axes3(n_cells)
+    pv = _axes3(periodic)
     origin = jnp.broadcast_to(jnp.asarray(origin, pos.dtype), (3,))
     extent = jnp.broadcast_to(jnp.asarray(extent, pos.dtype), (3,))
-    inv_cell = n_cells / extent
+    inv_cell = jnp.asarray(ncv, pos.dtype) / extent
     rel = (pos - origin) * inv_cell
     coords = jnp.floor(rel).astype(jnp.int32)
-    if periodic:
-        coords = jnp.mod(coords, n_cells)
-    else:
-        coords = jnp.clip(coords, 0, n_cells - 1)
+    ncv_arr = jnp.asarray(ncv, jnp.int32)
+    wrapped = jnp.mod(coords, ncv_arr)
+    clamped = jnp.clip(coords, 0, ncv_arr - 1)
+    coords = jnp.where(jnp.asarray(pv, bool), wrapped, clamped)
     cid = _flat_cell_id(coords, n_cells)
-    total = n_cells**3
+    total = ncv[0] * ncv[1] * ncv[2]
     cid = jnp.where(mask, cid, total)  # dead -> sentinel bucket
 
     order = jnp.argsort(cid)  # dead sort to the end
@@ -108,19 +117,18 @@ def build_cell_list(
     )
 
 
-def _stencil_cids(coords, n_cells: int, periodic: bool):
+def _stencil_cids(coords, n_cells, periodic):
     """[..., 27] flat cell ids of the 3^3 stencil around integer coords.
-    Out-of-range cells (non-periodic) -> -1."""
+    Out-of-range cells (non-periodic axes) -> -1."""
+    ncv = jnp.asarray(_axes3(n_cells), jnp.int32)
+    pv = jnp.asarray(_axes3(periodic), bool)
     offs = jnp.stack(
         jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), -1
     ).reshape(27, 3)
     c = coords[..., None, :] + offs  # [..., 27, 3]
-    if periodic:
-        c = jnp.mod(c, n_cells)
-        valid = jnp.ones(c.shape[:-1], bool)
-    else:
-        valid = jnp.all((c >= 0) & (c < n_cells), axis=-1)
-        c = jnp.clip(c, 0, n_cells - 1)
+    in_range = (c >= 0) & (c < ncv)
+    valid = jnp.all(pv | in_range, axis=-1)
+    c = jnp.where(pv, jnp.mod(c, ncv), jnp.clip(c, 0, ncv - 1))
     cid = _flat_cell_id(c, n_cells)
     return jnp.where(valid, cid, -1)
 
@@ -130,10 +138,10 @@ def candidate_indices(cl: CellList, target_pos):
     indices (-1 = none). Memory is bounded by the caller blocking targets."""
     rel = (target_pos - cl.origin) * cl.inv_cell
     coords = jnp.floor(rel).astype(jnp.int32)
-    if cl.periodic:
-        coords = jnp.mod(coords, cl.n_cells)
-    else:
-        coords = jnp.clip(coords, 0, cl.n_cells - 1)
+    ncv = jnp.asarray(_axes3(cl.n_cells), jnp.int32)
+    pv = jnp.asarray(_axes3(cl.periodic), bool)
+    coords = jnp.where(pv, jnp.mod(coords, ncv),
+                       jnp.clip(coords, 0, ncv - 1))
     cids = _stencil_cids(coords, cl.n_cells, cl.periodic)      # [T,27]
     safe = jnp.maximum(cids, 0)
     cand = cl.cells[safe]                                      # [T,27,cap]
@@ -142,6 +150,21 @@ def candidate_indices(cl: CellList, target_pos):
 
 
 def apply_pairwise(
+    cl: CellList,
+    target_pos,
+    pair_fn,
+    block: int = 256,
+    n_targets: int | None = None,
+):
+    """See below. ``n_targets`` restricts evaluation to the first
+    n_targets rows of target_pos (the local-owned prefix in SPMD slabs;
+    ghost sources still participate via the cell list)."""
+    if n_targets is not None:
+        target_pos = target_pos[:n_targets]
+    return _apply_pairwise(cl, target_pos, pair_fn, block)
+
+
+def _apply_pairwise(
     cl: CellList,
     target_pos,
     pair_fn,

@@ -111,6 +111,33 @@ def _shortrange_trunc_pallas(r, asmth):
     return p * jnp.exp(-x * x)
 
 
+# erfc(x) = Q7(x) * e^{-x^2}, max |err| 1.7e-5 on [0, 2.26] — the
+# potential truncation [G2: pm_periodic.c / potential.c erfc factor]
+_ERFC_P7 = (0.99998307, -1.12761978, 0.99168, -0.71359245,
+            0.40552133, -0.16464148, 0.04074038, -0.00448705)
+
+
+def _erfc_trunc_pallas(r, asmth):
+    x = r * (0.5 / asmth)
+    p = jnp.float32(_ERFC_P7[-1])
+    for c in _ERFC_P7[-2::-1]:
+        p = p * x + c
+    return p * jnp.exp(-x * x)
+
+
+def _grav_pot_nodiv(r, rinv, h, hinv):
+    """Softened potential factor (phi/(G m)); -1/r outside the kernel.
+    Division-free twin of ops.softening.grav_pot."""
+    u = r * hinv
+    uinv = h * rinv
+    wp_inner = -2.8 + u * u * (5.333333333333 + u * u * (6.4 * u - 9.6))
+    wp_outer = (-3.2 + 0.066666666667 * uinv
+                + u * u * (10.666666666667
+                           + u * (-16.0 + u * (9.6 - 2.133333333333 * u))))
+    return jnp.where(u < 0.5, hinv * wp_inner,
+                     jnp.where(u < 1.0, hinv * wp_outer, -rinv))
+
+
 def _decode_cell(ci, n):
     cx = ci // (n * n)
     rem = ci % (n * n)
@@ -191,7 +218,8 @@ def _nbr_cid_traced(c, j, n, periodic):
     return (nx * n + ny) * n + nz, valid
 
 
-def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
+def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap,
+                     with_potential=False):
     """Gravity cell-pair kernel, DMA-pipelined + VPU-lean variant:
 
     * ONE grid step per target cell; 27 stencil sources stream through a
@@ -232,7 +260,7 @@ def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
         dma(0, 0).start()
 
         def body(j, acc):
-            ax, ay, az = acc
+            ax, ay, az, pw = acc
             slot = jax.lax.rem(j, 2)
             nxt = jax.lax.rem(j + 1, 2)
 
@@ -274,13 +302,19 @@ def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
                 r = r2 * rinv
                 hh = jnp.maximum(t[4, :][:, None], s[4, :][None, :])
                 hhinv = jnp.minimum(t[6, :][:, None], s[6, :][None, :])
-                return _grav_fac_nodiv(r, rinv, hh, hhinv)
+                fac_ = _grav_fac_nodiv(r, rinv, hh, hhinv)
+                if with_potential:
+                    return fac_, _grav_pot_nodiv(r, rinv, hh, hhinv)
+                return fac_, fac_
 
             def fac_plain(_):
-                return rinv * rinv * rinv
+                rinv3 = rinv * rinv * rinv
+                if with_potential:
+                    return rinv3, -rinv
+                return rinv3, rinv3
 
-            fac = jax.lax.cond(r2min < hmax * hmax, fac_softened,
-                               fac_plain, operand=None)
+            fac, pfac = jax.lax.cond(r2min < hmax * hmax, fac_softened,
+                                     fac_plain, operand=None)
             if asmth > 0.0:
                 fac = fac * _shortrange_trunc_pallas(r2 * rinv, asmth)
             ok = (r2 < rcut * rcut) & (r2 > 0.0) & (s[5, :][None, :] > 0.0)
@@ -288,18 +322,26 @@ def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap):
                 _, valid = _nbr_cid_traced(c, j, n_cells, periodic)
                 ok = ok & valid
             w = jnp.where(ok, s[3, :][None, :] * fac, 0.0)
+            if with_potential:
+                if asmth > 0.0:
+                    pfac = pfac * _erfc_trunc_pallas(r2 * rinv, asmth)
+                wp = jnp.where(ok, s[3, :][None, :] * pfac, 0.0)
+                pw = pw + jnp.sum(wp, axis=1)
             # NB: do NOT factor these sums through an MXU matmul — the MXU
             # rounds inputs to bf16 (preferred_element_type only sets the
             # accumulator), which destroys close-pair forces.
             return (ax - jnp.sum(w * dx, axis=1),
                     ay - jnp.sum(w * dy, axis=1),
-                    az - jnp.sum(w * dz, axis=1))
+                    az - jnp.sum(w * dz, axis=1),
+                    pw)
 
         z = jnp.zeros((cap,), t.dtype)
-        ax, ay, az = jax.lax.fori_loop(0, 27, body, (z, z, z))
+        ax, ay, az, pw = jax.lax.fori_loop(0, 27, body, (z, z, z, z))
         out_ref[0, 0, :] = ax
         out_ref[0, 1, :] = ay
         out_ref[0, 2, :] = az
+        if with_potential:
+            out_ref[0, 3, :] = pw
 
     return kernel
 
@@ -313,16 +355,18 @@ def cell_activity_flags(cl: CellList, active):
 
 
 @partial(hybrid_jit, static_argnames=("box", "n_cells", "capacity", "periodic",
-                                   "asmth", "rcut"))
+                                   "asmth", "rcut", "with_potential"))
 def shortrange_gravity_pallas_dma(
     pos, mass, soft, alive, box: float, n_cells: int, capacity: int = 128,
     asmth: float = 0.0, rcut: float = 1e30, periodic: bool = True,
-    active=None,
+    active=None, with_potential: bool = False,
 ):
     """DMA-pipelined variant of shortrange_gravity_pallas (TPU only —
     no interpret mode for manual DMA). With ``active`` (per-particle
     bool), tiles holding no active target skip their sweep and return
-    zeros there — callers keep the frozen acc for inactive particles."""
+    zeros there — callers keep the frozen acc for inactive particles.
+    ``with_potential`` adds the erfc-truncated softened potential
+    [G2: potential.c] and returns (acc, pot, overflow)."""
     cl = build_cell_list(pos, alive, 0.0, box, n_cells=n_cells,
                          capacity=capacity, periodic=periodic)
     soa = pack_cells_soa(cl, pos, mass, soft, alive)
@@ -333,7 +377,8 @@ def shortrange_gravity_pallas_dma(
         flags = cell_activity_flags(cl, active)
 
     out = pl.pallas_call(
-        _make_kernel_dma(float(box), asmth, rcut, periodic, n_cells, cap),
+        _make_kernel_dma(float(box), asmth, rcut, periodic, n_cells, cap,
+                         with_potential=with_potential),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(c,),
@@ -358,7 +403,12 @@ def shortrange_gravity_pallas_dma(
     acc = acc.at[flat_idx, 0].set(out[:, 0, :].reshape(-1), mode="drop")
     acc = acc.at[flat_idx, 1].set(out[:, 1, :].reshape(-1), mode="drop")
     acc = acc.at[flat_idx, 2].set(out[:, 2, :].reshape(-1), mode="drop")
-    return jnp.where(alive[:, None], acc[:n_p], 0.0), cl.overflow
+    acc_p = jnp.where(alive[:, None], acc[:n_p], 0.0)
+    if with_potential:
+        pot = jnp.zeros((n_p + 1,), pos.dtype).at[flat_idx].set(
+            out[:, 3, :].reshape(-1), mode="drop")
+        return acc_p, jnp.where(alive, pot[:n_p], 0.0), cl.overflow
+    return acc_p, cl.overflow
 
 
 # ---------------------------------------------------------------------------

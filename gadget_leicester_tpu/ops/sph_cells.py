@@ -33,12 +33,16 @@ def _min_image(dx, box):
     return dx - box * jnp.round(dx / box)
 
 
-@partial(hybrid_jit, static_argnames=("block", "periodic"))
+@partial(hybrid_jit, static_argnames=("block", "periodic", "n_targets"))
 def density_sums_cells(
     cl: CellList, pos, vel, mass, hsml, gas_mask,
     box=0.0, block: int = 256, periodic: bool = False,
+    n_targets: int | None = None,
 ):
-    """Cell-list version of [G2: density.c :: density_evaluate()] sums."""
+    """Cell-list version of [G2: density.c :: density_evaluate()] sums.
+    ``n_targets``: evaluate only the first n rows as targets (SPMD slabs:
+    local prefix; ghost rows are sources only). ``hsml`` is sized to the
+    target prefix in that case."""
     src_mass = jnp.where(gas_mask, mass, 0.0)
 
     def pair_fn(idx, tp, cand):
@@ -63,7 +67,7 @@ def density_sums_cells(
         rot = jnp.einsum("bc,bcd->bd", fac, jnp.cross(dv, dx))
         return rho, drho_dh, divv, rot
 
-    return apply_pairwise(cl, pos, pair_fn, block=block)
+    return apply_pairwise(cl, pos, pair_fn, block=block, n_targets=n_targets)
 
 
 def density_adaptive_cells(
@@ -72,25 +76,33 @@ def density_adaptive_cells(
     min_hsml: float = 0.0, max_hsml=None,
     box: float = 0.0, periodic: bool = False,
     block: int = 256, max_iters: int = 40,
+    n_targets: int | None = None,
 ) -> DensityResult:
+    """Adaptive-h solve; with ``n_targets``, only the first n rows are
+    solved (outputs sized n_targets); all rows source the sums."""
+    nt = pos.shape[0] if n_targets is None else n_targets
+
     def sweep(h):
         return density_sums_cells(cl, pos, vel, mass, h, gas_mask,
-                                  box=box, block=block, periodic=periodic)
+                                  box=box, block=block, periodic=periodic,
+                                  n_targets=n_targets)
 
     return density_adaptive_generic(
-        sweep, mass, hsml0, gas_mask, des_num_ngb, max_dev,
+        sweep, mass[:nt], hsml0[:nt], gas_mask[:nt], des_num_ngb, max_dev,
         min_hsml=min_hsml, max_hsml=max_hsml, max_iters=max_iters)
 
 
-@partial(hybrid_jit, static_argnames=("block", "periodic"))
+@partial(hybrid_jit, static_argnames=("block", "periodic", "n_targets"))
 def hydro_force_cells(
     cl: CellList, pos, vel, mass, hsml, rho, pressure, dhsml_factor,
     div_vel, curl_vel, gas_mask, visc_const: float,
     box: float = 0.0, periodic: bool = False, block: int = 256,
     hubble_a2_flow: float = 0.0, hubble_a2_norm: float = 1.0,
-    fac_mu: float = 1.0,
+    fac_mu: float = 1.0, n_targets: int | None = None,
 ) -> HydroResult:
-    """Cell-list version of [G2: hydra.c :: hydro_evaluate()]."""
+    """Cell-list version of [G2: hydra.c :: hydro_evaluate()]. With
+    ``n_targets`` only the first n rows are targets (outputs sized n);
+    all rows (incl. SPMD ghosts) source the pair sums."""
     rho_safe = jnp.where(rho > 0, rho, 1.0)
     src_mass = jnp.where(gas_mask, mass, 0.0)
     c_snd = jnp.sqrt(GAMMA * pressure / rho_safe)
@@ -140,9 +152,12 @@ def hydro_force_cells(
         msv = jnp.max(jnp.where(inside, vsig, 0.0), axis=-1)
         return acc, dt_ent, msv
 
-    acc, dt_ent, msv = apply_pairwise(cl, pos, pair_fn, block=block)
-    dt_ent = dt_ent * GAMMA_MINUS1 / (hubble_a2_norm * rho_safe**GAMMA_MINUS1)
-    gm = gas_mask
+    acc, dt_ent, msv = apply_pairwise(cl, pos, pair_fn, block=block,
+                                      n_targets=n_targets)
+    nt = pos.shape[0] if n_targets is None else n_targets
+    dt_ent = dt_ent * GAMMA_MINUS1 / (
+        hubble_a2_norm * rho_safe[:nt]**GAMMA_MINUS1)
+    gm = gas_mask[:nt]
     return HydroResult(
         acc=jnp.where(gm[:, None], acc, 0.0),
         dt_entropy=jnp.where(gm, dt_ent, 0.0),

@@ -75,14 +75,12 @@ def _pencil_irfft3(fk, axis_name, n_shards):
     return jnp.real(f)
 
 
-def make_pm_sharded(mesh: Mesh, box: float, n: int,
+def pm_local_forces(pos, mass, alive, box: float, n: int, d: int,
                     asmth_grid: float = ASMTH,
                     with_potential: bool = False):
-    """Build fn(pos, mass, alive) -> acc (or (acc, pot)) operating on
-    dim-0-sharded particle arrays over `mesh`. n % n_shards == 0."""
-    d = mesh.shape[AXIS]
-    if n % d != 0:
-        raise ValueError(f"pm mesh n={n} must divide the {d}-way mesh axis")
+    """PM force/potential for the LOCAL particles of one shard — call
+    INSIDE a shard_map over the ``AXIS`` mesh axis (d = axis size). The
+    collectives (psum_scatter, all_to_all, all_gather) ride that axis."""
     h = box / n
     asmth_len = asmth_grid * h
     cell_vol = h**3
@@ -132,6 +130,23 @@ def make_pm_sharded(mesh: Mesh, box: float, n: int,
         if with_potential:
             return acc, jnp.where(alive, out[:, 3], 0.0)
         return acc
+
+    return local_fn(pos, mass, alive)
+
+
+def make_pm_sharded(mesh: Mesh, box: float, n: int,
+                    asmth_grid: float = ASMTH,
+                    with_potential: bool = False):
+    """Build fn(pos, mass, alive) -> acc (or (acc, pot)) operating on
+    dim-0-sharded particle arrays over `mesh`. n % n_shards == 0."""
+    d = mesh.shape[AXIS]
+    if n % d != 0:
+        raise ValueError(f"pm mesh n={n} must divide the {d}-way mesh axis")
+
+    def local_fn(pos, mass, alive):
+        return pm_local_forces(pos, mass, alive, box, n, d,
+                               asmth_grid=asmth_grid,
+                               with_potential=with_potential)
 
     spec_p = P(AXIS)
     out_specs = (P(AXIS), P(AXIS)) if with_potential else P(AXIS)

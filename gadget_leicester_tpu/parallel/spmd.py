@@ -1,0 +1,525 @@
+"""Owner-computes domain-decomposed SPMD step — the production rebuild of
+the reference's spatial domain decomposition and ghost exchange
+[G2: domain.c :: domain_Decomposition(), domain_exchangeParticles();
+gravtree.c / density.c / hydra.c export-evaluate-import loops].
+
+Design (TPU-first; explicit shard_map + ICI collectives — no GSPMD
+all-gathers of particle sources):
+
+* **Ownership**: periodic x-slabs, one per device of the ``shard`` mesh
+  axis. Every shard holds a FIXED-capacity chunk of each SimState array
+  (particle dims sharded on dim 0), gas slots first within the chunk — so
+  shard_map's local view IS a smaller valid SimState (the layout
+  invariant "gas occupies slots [0, n_gas)" holds per shard).
+* **Migration** [G2: domain_exchangeParticles]: after the drift, particles
+  that crossed a slab face are compacted into fixed buffers, ppermute'd
+  one hop (per-step drifts are << a slab width), and merged into dead
+  slots; capacity overrun or >1-slab jumps raise overflow_flags bit 4.
+* **Ghosts** [G2: gravtree.c export buffers]: boundary strips within the
+  interaction range of a face travel both ways via ppermute. Short-range
+  gravity uses rcut; SPH uses its h cap, with TWO rounds per step —
+  positions/velocities before density, density/pressure fields before
+  hydro — exactly the reference's two communication phases.
+* **Forces**: each shard builds a LOCAL anisotropic cell grid over
+  [x0-range, x1+range) x [0, box)^2 (clamped in x, periodic in y/z) and
+  runs the cells-backend kernels with targets = the owned prefix and
+  ghosts as sources only (ops.neighbors per-axis grids, n_targets).
+* **PM**: parallel.pm_sharded.pm_local_forces (local deposit +
+  psum_scatter to slabs + pencil FFT + all_gather of the force mesh).
+* **Global control**: sync tick via pmin; PM rms-displacement via psum.
+
+Sinks are not yet supported under SPMD (their nearest-sink claim is a
+global argmin); make_spmd_step raises.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gadget_leicester_tpu.core.config import GAMMA, SimConfig, SimOptions
+from gadget_leicester_tpu.core.state import GasState, ParticleState, SimState
+from gadget_leicester_tpu.core import timeline
+from gadget_leicester_tpu.models import integrate
+from gadget_leicester_tpu.models.forces import (comoving_factors,
+                                                softening_table)
+from gadget_leicester_tpu.ops.softening import SOFTFAC
+from gadget_leicester_tpu.parallel.mesh import AXIS
+
+_P_FIELDS = ["pos", "vel", "mass", "ptype", "pid", "acc", "acc_pm",
+             "pot", "old_acc", "ti_begstep", "ti_endstep"]
+
+
+# ---------------------------------------------------------------------------
+# Host-side layout conversion
+# ---------------------------------------------------------------------------
+def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
+            fill_frac: float = 0.6):
+    """Re-lay a canonical SimState into the per-shard slab layout.
+
+    Each shard's chunk is [cap_g gas slots | cap_r other slots]; global
+    arrays are the concatenation over shards. Returns (state, (cap_g,
+    cap_r))."""
+    d = mesh.shape[AXIS]
+    box = float(cfg.box_size)
+    p = state.p
+    ng = state.gas.n_gas_max
+    pos = np.asarray(p.pos)
+    alive = np.asarray(p.alive)
+    is_gas = np.zeros(p.n_max, bool)
+    is_gas[:ng] = np.asarray(p.ptype[:ng] == 0) & alive[:ng]
+    is_rest = alive & ~is_gas
+    slab = np.clip((np.mod(pos[:, 0], box) / box * d).astype(int), 0, d - 1)
+
+    def cap_for(sel):
+        counts = np.bincount(slab[sel], minlength=d)
+        return max(8, int(np.ceil(counts.max() / fill_frac / 8.0)) * 8)
+
+    cap_g, cap_r = cap_for(is_gas), cap_for(is_rest)
+    stride = cap_g + cap_r
+    nm, ngm = d * stride, d * cap_g
+
+    dst = np.full(p.n_max, -1, np.int64)
+    for sh in range(d):
+        rows_g = np.where(is_gas & (slab == sh))[0]
+        dst[rows_g] = sh * stride + np.arange(len(rows_g))
+        rows_r = np.where(is_rest & (slab == sh))[0]
+        dst[rows_r] = sh * stride + cap_g + np.arange(len(rows_r))
+
+    def scat(arr, n_out, rows, dd):
+        a = np.asarray(arr)
+        out = np.zeros((n_out,) + a.shape[1:], a.dtype)
+        out[dd] = a[rows]
+        return jnp.asarray(out)
+
+    rows_all = np.where(dst >= 0)[0]
+    newp = ParticleState(
+        **{f: scat(getattr(p, f), nm, rows_all, dst[rows_all])
+           for f in _P_FIELDS},
+        alive=scat(p.alive, nm, rows_all, dst[rows_all]))
+
+    rows_g = np.where(is_gas)[0]
+    gdst = dst[rows_g]
+    gdst = (gdst // stride) * cap_g + gdst % stride
+    g = state.gas
+    newg = GasState(**{
+        f.name: scat(getattr(g, f.name), ngm, rows_g, gdst)
+        for f in dataclasses.fields(g)})
+    newg = dataclasses.replace(
+        newg,
+        dhsml_density_factor=jnp.where(
+            jnp.asarray(newg.hsml) > 0, newg.dhsml_density_factor, 1.0),
+        hsml=jnp.maximum(newg.hsml, 1e-30))
+    return dataclasses.replace(state, p=newp, gas=newg), (cap_g, cap_r)
+
+
+def from_spmd(state: SimState, cap_g: int, cap_r: int) -> SimState:
+    """Collapse the slab layout back to a canonical SimState (host)."""
+    import numpy as np
+    from gadget_leicester_tpu.core.state import from_arrays
+
+    d = state.p.n_max // (cap_g + cap_r)
+    alive = np.asarray(state.p.alive)
+    rows = np.where(alive)[0]
+    pos = np.asarray(state.p.pos)[rows]
+    vel = np.asarray(state.p.vel)[rows]
+    mass = np.asarray(state.p.mass)[rows]
+    ptype = np.asarray(state.p.ptype)[rows]
+    # NOTE: lossy for mid-run dynamics (acc/ti fields dropped) — intended
+    # for snapshots/analysis; restart dumps save the slab layout verbatim.
+    return pos, vel, mass, ptype, rows
+
+
+def state_specs(state: SimState):
+    """PartitionSpecs: particle/gas arrays sharded on dim 0, everything
+    else (sink registry, scalars, rng) replicated."""
+    psh = ParticleState(**{f: P(AXIS) if f in ("mass", "ptype", "pid", "pot",
+                                               "old_acc", "ti_begstep",
+                                               "ti_endstep")
+                           else P(AXIS, None)
+                           for f in _P_FIELDS},
+                        alive=P(AXIS))
+    gsh = GasState(**{
+        f.name: P(AXIS, None) if f.name in ("vel_pred", "hydro_acc")
+        else P(AXIS)
+        for f in dataclasses.fields(GasState)})
+    rep = jax.tree_util.tree_map(lambda _: P(), state.sinks)
+    return dataclasses.replace(
+        state, p=psh, gas=gsh, sinks=rep,
+        ti_current=P(), pm_ti_endstep=P(), pm_ti_begstep=P(),
+        rng_key=P(), overflow_flags=P())
+
+
+# ---------------------------------------------------------------------------
+# In-shard primitives
+# ---------------------------------------------------------------------------
+def _pack(fields, mask, cap):
+    """Stream-compact rows where mask into [cap] buffers (+count, ovf)."""
+    idxpos = jnp.cumsum(mask) - 1
+    put = jnp.where(mask & (idxpos < cap), idxpos, cap)
+    outs = []
+    for f in fields:
+        buf = jnp.zeros((cap + 1,) + f.shape[1:], f.dtype)
+        buf = buf.at[put].set(
+            jnp.where(mask.reshape((-1,) + (1,) * (f.ndim - 1)), f,
+                      jnp.zeros((), f.dtype)), mode="drop")
+        outs.append(buf[:cap])
+    count = jnp.sum(mask)
+    return outs, count, count > cap
+
+
+def _ring(bufs, direction, n_shards):
+    """ppermute a list of arrays one hop around the slab ring.
+    direction +1: data moves to the RIGHT neighbour (i -> i+1)."""
+    perm = [(i, (i + direction) % n_shards) for i in range(n_shards)]
+    return [jax.lax.ppermute(b, AXIS, perm) for b in bufs]
+
+
+def _ghost_exchange(fields, pos_x, alive, x0, x1, margin, gcap, n_shards):
+    """Both-ways boundary-strip exchange. Returns ([2*gcap]-ghost arrays,
+    ghost-valid mask, overflow)."""
+    near_l = alive & (pos_x < x0 + margin)
+    near_r = alive & (pos_x >= x1 - margin)
+    bl, cl_, o1 = _pack(fields, near_l, gcap)
+    br, cr_, o2 = _pack(fields, near_r, gcap)
+    from_left = _ring(br + [cr_.reshape(1)], +1, n_shards)
+    from_right = _ring(bl + [cl_.reshape(1)], -1, n_shards)
+    c_l, c_r = from_left[-1][0], from_right[-1][0]
+    ghosts = [jnp.concatenate([a, b])
+              for a, b in zip(from_left[:-1], from_right[:-1])]
+    gvalid = jnp.concatenate([jnp.arange(gcap) < c_l,
+                              jnp.arange(gcap) < c_r])
+    return ghosts, gvalid, o1 | o2 | (c_l > gcap) | (c_r > gcap)
+
+
+def _wrap_to_slab(x, xc, box):
+    """Ghost/local x mapped to the frame of the slab centred at xc."""
+    return xc + (x - xc) - box * jnp.round((x - xc) / box)
+
+
+def _insert_into_dead(fields, alive, recv, valid_in):
+    """Scatter received rows into dead slots; returns (fields, alive, ovf)."""
+    n = alive.shape[0]
+    order = jnp.argsort(alive.astype(jnp.int32))     # dead first (stable)
+    n_dead = jnp.sum(~alive)
+    k = jnp.arange(valid_in.shape[0])
+    tgt = jnp.where(valid_in & (k < n_dead),
+                    order[jnp.minimum(k, n - 1)], n)
+    outs = []
+    for f, rec in zip(fields, recv):
+        fbuf = jnp.concatenate([f, jnp.zeros((1,) + f.shape[1:], f.dtype)])
+        outs.append(fbuf.at[tgt].set(rec, mode="drop")[:n])
+    alive_new = jnp.concatenate([alive, jnp.zeros((1,), bool)]).at[tgt].set(
+        True, mode="drop")[:n]
+    return outs, alive_new, jnp.sum(valid_in) > n_dead
+
+
+# ---------------------------------------------------------------------------
+# The SPMD step factory
+# ---------------------------------------------------------------------------
+def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
+                   ghost_frac: float = 0.5, migrate_frac: float = 0.15):
+    """Jitted owner-computes sync-point step over `mesh` (state in the
+    to_spmd slab layout). Requires periodic TreePM (+SPH), slab width >=
+    rcut and >= the SPH cell edge; sinks unsupported."""
+    from gadget_leicester_tpu.ops.pm import ASMTH, RCUT
+
+    d = mesh.shape[AXIS]
+    box = float(cfg.box_size)
+    slab_w = box / d
+    if opts.sinks:
+        raise NotImplementedError("sinks under SPMD (global claim): not yet")
+    if not (opts.periodic and opts.pmgrid > 0):
+        raise NotImplementedError("SPMD step requires periodic TreePM")
+    g_pm = opts.pmgrid
+    asmth_len = ASMTH * box / g_pm
+    rcut = RCUT * asmth_len
+    if slab_w < rcut:
+        raise ValueError(f"slab width {slab_w:.1f} < rcut {rcut:.1f}: "
+                         "fewer shards or finer PM mesh")
+    nyz = max(3, int(box / rcut))
+
+    def _migrate(st, me):
+        p = st.p
+        cap_g = st.gas.n_gas_max
+        mcap = max(8, int(migrate_frac * p.n_max))
+        xw = jnp.mod(p.pos[:, 0], box)
+        slab_of = jnp.clip((xw / slab_w).astype(jnp.int32), 0, d - 1)
+        stay = slab_of == me
+        go_l = p.alive & (slab_of == jnp.mod(me - 1, d)) & ~stay
+        go_r = p.alive & (slab_of == jnp.mod(me + 1, d)) & ~stay
+        lost = p.alive & ~stay & ~go_l & ~go_r
+        gfields = [getattr(st.gas, f.name)
+                   for f in dataclasses.fields(st.gas)]
+
+        def move_block(lo, hi, gas_block):
+            sl, sr = go_l[lo:hi], go_r[lo:hi]
+            fields = [getattr(p, f)[lo:hi] for f in _P_FIELDS]
+            if gas_block:
+                fields = fields + gfields
+            bl, cl_, o1 = _pack(fields, sl, mcap)
+            br, cr_, o2 = _pack(fields, sr, mcap)
+            from_r = _ring(bl + [cl_.reshape(1)], -1, d)
+            from_l = _ring(br + [cr_.reshape(1)], +1, d)
+            recv = [jnp.concatenate([a, b])
+                    for a, b in zip(from_l[:-1], from_r[:-1])]
+            c_l, c_r = from_l[-1][0], from_r[-1][0]
+            valid_in = jnp.concatenate([jnp.arange(mcap) < c_l,
+                                        jnp.arange(mcap) < c_r])
+            alive_blk = p.alive[lo:hi] & stay[lo:hi]
+            outs, alive_new, o3 = _insert_into_dead(fields, alive_blk,
+                                                    recv, valid_in)
+            ovf = o1 | o2 | o3 | (c_l > mcap) | (c_r > mcap)
+            return outs, alive_new, ovf
+
+        outs_g, alive_g, ovf_g = move_block(0, cap_g, True)
+        outs_r, alive_r, ovf_r = move_block(cap_g, p.n_max, False)
+
+        p_new = ParticleState(
+            **{f: jnp.concatenate([outs_g[i], outs_r[i]])
+               for i, f in enumerate(_P_FIELDS)},
+            alive=jnp.concatenate([alive_g, alive_r]))
+        gas_new = GasState(**{
+            f.name: outs_g[len(_P_FIELDS) + i]
+            for i, f in enumerate(dataclasses.fields(st.gas))})
+        flags = st.overflow_flags | jnp.where(
+            ovf_g | ovf_r | jnp.any(lost), jnp.int32(4), jnp.int32(0))
+        return dataclasses.replace(st, p=p_new, gas=gas_new,
+                                   overflow_flags=flags)
+
+    def _gravity(st, me, x0, x1, xc, is_pm_step):
+        from gadget_leicester_tpu.models.forces import _treepm_gravity  # noqa
+        from gadget_leicester_tpu.ops.gravity_short import \
+            shortrange_gravity_cells
+        from gadget_leicester_tpu.ops.neighbors import build_cell_list
+        from gadget_leicester_tpu.parallel.pm_sharded import pm_local_forces
+
+        p = st.p
+        fac = comoving_factors(cfg, st.ti_current)
+        active = (p.ti_endstep == st.ti_current) & p.alive
+        eps = softening_table(cfg, fac.atime)
+        soft = SOFTFAC * eps[p.ptype]
+
+        def compute_pm(_):
+            a, pt = pm_local_forces(p.pos, p.mass, p.alive, box, g_pm, d,
+                                    with_potential=True)
+            return a * cfg.grav_internal, pt
+
+        acc_pm, pot = jax.lax.cond(
+            is_pm_step, compute_pm,
+            lambda _: (p.acc_pm,
+                       p.pot / jnp.maximum(cfg.grav_internal, 1e-37)),
+            operand=None)
+
+        gcap = max(8, int(ghost_frac * p.n_max))
+        ghosts, gvalid, ovf = _ghost_exchange(
+            [p.pos, p.mass, soft], jnp.mod(p.pos[:, 0], box), p.alive,
+            x0, x1, rcut, gcap, d)
+        gpos, gmass, gsoft = ghosts
+        gpos = gpos.at[:, 0].set(_wrap_to_slab(gpos[:, 0], xc, box))
+        lpos = p.pos.at[:, 0].set(
+            _wrap_to_slab(jnp.mod(p.pos[:, 0], box), xc, box))
+        cat_pos = jnp.concatenate([lpos, gpos])
+        cat_mass = jnp.concatenate([p.mass, gmass])
+        cat_soft = jnp.concatenate([soft, gsoft])
+        cat_alive = jnp.concatenate([p.alive, gvalid])
+
+        ext_x = slab_w + 2.0 * rcut
+        nx = max(1, int(ext_x / rcut))
+        cl = build_cell_list(
+            cat_pos, cat_alive,
+            origin=jnp.array([x0 - rcut, 0.0, 0.0], lpos.dtype),
+            extent=jnp.array([ext_x, box, box], lpos.dtype),
+            n_cells=(nx, nyz, nyz),
+            capacity=opts.sr_capacity if opts.sr_capacity > 0 else 128,
+            periodic=(False, True, True))
+        acc_sr = shortrange_gravity_cells(
+            cl, cat_pos, cat_mass, cat_soft, cat_alive,
+            asmth_len, rcut, box=box, periodic=True, n_targets=p.n_max)
+        flags = st.overflow_flags | jnp.where(
+            cl.overflow | ovf, jnp.int32(1), jnp.int32(0))
+
+        acc = acc_sr * cfg.grav_internal
+        acc = jnp.where(active[:, None], acc, p.acc)
+        acc = jnp.where(p.alive[:, None], acc, 0.0)
+        acc_pm = jnp.where(p.alive[:, None], acc_pm, 0.0)
+        pot = pot * cfg.grav_internal
+        total = acc + acc_pm
+        old_acc = jnp.sqrt(jnp.sum(total * total, axis=-1))
+        p = dataclasses.replace(p, acc=acc, acc_pm=acc_pm, pot=pot,
+                                old_acc=old_acc)
+        return dataclasses.replace(st, p=p, overflow_flags=flags), active
+
+    def _sph(st, me, x0, x1, xc, active):
+        from gadget_leicester_tpu.core.config import GAMMA_MINUS1  # noqa
+        from gadget_leicester_tpu.ops.neighbors import build_cell_list
+        from gadget_leicester_tpu.ops.sph_cells import (
+            density_adaptive_cells, hydro_force_cells)
+
+        gas = st.gas
+        p = st.p
+        ng = gas.n_gas_max
+        fac = comoving_factors(cfg, st.ti_current)
+        gas_mask = p.alive[:ng] & (p.ptype[:ng] == 0)
+        active_g = active[:ng] & gas_mask
+        eps_gas = softening_table(cfg, fac.atime)[0]
+        min_hsml = cfg.min_gas_hsml_fractional * SOFTFAC * eps_gas
+
+        # SPH cell edge (and h cap): the single-device auto heuristic on
+        # the GLOBAL gas count so results match the replicated run
+        n_glob = ng * d
+        spacing_cells = (n_glob ** (1.0 / 3.0)) / (
+            1.6 * (3.0 * cfg.des_num_ngb / (4.0 * 3.14159)) ** (1.0 / 3.0))
+        n_sph = max(3, int(spacing_cells))
+        cell_sph = box / n_sph
+        if slab_w < cell_sph:
+            raise ValueError("slab thinner than the SPH cell edge")
+        max_hsml = cell_sph
+
+        lx = _wrap_to_slab(jnp.mod(p.pos[:ng, 0], box), xc, box)
+        lpos = p.pos[:ng].at[:, 0].set(lx)
+        gcap = max(8, int(0.5 * ng))
+        h0 = jnp.minimum(gas.hsml, max_hsml)
+
+        # ---- round 1: kinematic ghosts for the density solve -----------
+        ghosts, gvalid, ovf1 = _ghost_exchange(
+            [p.pos[:ng], gas.vel_pred, p.mass[:ng],
+             gas_mask.astype(jnp.int32)],
+            jnp.mod(p.pos[:ng, 0], box), gas_mask, x0, x1, cell_sph,
+            gcap, d)
+        gpos, gvel, gmass, gmask_i = ghosts
+        gpos = gpos.at[:, 0].set(_wrap_to_slab(gpos[:, 0], xc, box))
+        gv = gvalid & (gmask_i > 0)
+        cat_pos = jnp.concatenate([lpos, gpos])
+        cat_vel = jnp.concatenate([gas.vel_pred, gvel])
+        cat_mass = jnp.concatenate([p.mass[:ng], gmass])
+        cat_mask = jnp.concatenate([gas_mask, gv])
+
+        nx = max(1, int((slab_w + 2 * cell_sph) / cell_sph))
+        cl = build_cell_list(
+            cat_pos, cat_mask,
+            origin=jnp.array([x0 - cell_sph, 0.0, 0.0], lpos.dtype),
+            extent=jnp.array([slab_w + 2 * cell_sph, box, box], lpos.dtype),
+            n_cells=(nx, n_sph, n_sph),
+            capacity=opts.sph_capacity if opts.sph_capacity > 0 else 128,
+            periodic=(False, True, True))
+        dres = density_adaptive_cells(
+            cl, cat_pos, cat_vel, cat_mass, jnp.concatenate(
+                [h0, jnp.full((2 * gcap,), 1.0, h0.dtype)]),
+            cat_mask, des_num_ngb=cfg.des_num_ngb,
+            max_dev=cfg.max_num_ngb_deviation,
+            min_hsml=min_hsml, max_hsml=max_hsml,
+            box=box, periodic=True, n_targets=ng)
+
+        rho = jnp.where(active_g, dres.rho, gas.density)
+        hsml = jnp.where(active_g, dres.hsml, gas.hsml)
+        dhf = jnp.where(active_g, dres.dhsml_factor,
+                        gas.dhsml_density_factor)
+        divv = jnp.where(active_g, dres.div_vel, gas.div_vel)
+        curlv = jnp.where(active_g, dres.curl_vel, gas.curl_vel)
+        nngb = jnp.where(active_g, dres.num_ngb_eff, gas.num_ngb)
+
+        if opts.isotherm_eqs:
+            pressure = gas.entropy_pred * rho
+        else:
+            pressure = gas.entropy_pred * rho**GAMMA
+        pressure = jnp.where(gas_mask, pressure, 0.0)
+
+        # ---- round 2: hydro ghosts (post-density fields) ----------------
+        ghosts2, gvalid2, ovf2 = _ghost_exchange(
+            [p.pos[:ng], gas.vel_pred, p.mass[:ng], hsml, rho, pressure,
+             dhf, divv, curlv, gas_mask.astype(jnp.int32)],
+            jnp.mod(p.pos[:ng, 0], box), gas_mask, x0, x1, cell_sph,
+            gcap, d)
+        (g2pos, g2vel, g2mass, g2h, g2rho, g2prs, g2dhf, g2div, g2curl,
+         g2mask_i) = ghosts2
+        g2pos = g2pos.at[:, 0].set(_wrap_to_slab(g2pos[:, 0], xc, box))
+        gv2 = gvalid2 & (g2mask_i > 0)
+        cat2 = dict(
+            pos=jnp.concatenate([lpos, g2pos]),
+            vel=jnp.concatenate([gas.vel_pred, g2vel]),
+            mass=jnp.concatenate([p.mass[:ng], g2mass]),
+            hsml=jnp.concatenate([hsml, g2h]),
+            rho=jnp.concatenate([rho, g2rho]),
+            prs=jnp.concatenate([pressure, g2prs]),
+            dhf=jnp.concatenate([dhf, g2dhf]),
+            div=jnp.concatenate([divv, g2div]),
+            curl=jnp.concatenate([curlv, g2curl]),
+            mask=jnp.concatenate([gas_mask, gv2]),
+        )
+        cl2 = build_cell_list(
+            cat2["pos"], cat2["mask"],
+            origin=jnp.array([x0 - cell_sph, 0.0, 0.0], lpos.dtype),
+            extent=jnp.array([slab_w + 2 * cell_sph, box, box], lpos.dtype),
+            n_cells=(nx, n_sph, n_sph),
+            capacity=opts.sph_capacity if opts.sph_capacity > 0 else 128,
+            periodic=(False, True, True))
+        hres = hydro_force_cells(
+            cl2, cat2["pos"], cat2["vel"], cat2["mass"], cat2["hsml"],
+            cat2["rho"], cat2["prs"], cat2["dhf"], cat2["div"],
+            cat2["curl"], cat2["mask"],
+            visc_const=cfg.art_bulk_visc_const, box=box, periodic=True,
+            hubble_a2_flow=fac.hubble_a2_flow,
+            hubble_a2_norm=fac.hubble_a2_norm, fac_mu=fac.fac_mu,
+            n_targets=ng)
+
+        hydro_acc = jnp.where(active_g[:, None], hres.acc, gas.hydro_acc)
+        dt_entropy = jnp.where(active_g, hres.dt_entropy, gas.dt_entropy)
+        if opts.isotherm_eqs:
+            dt_entropy = jnp.zeros_like(dt_entropy)
+        msv = jnp.where(active_g, hres.max_signal_vel, gas.max_signal_vel)
+
+        flags = st.overflow_flags | jnp.where(
+            cl.overflow | cl2.overflow | ovf1 | ovf2,
+            jnp.int32(2), jnp.int32(0))
+        gas = dataclasses.replace(
+            gas, density=rho, hsml=hsml, pressure=pressure, div_vel=divv,
+            curl_vel=curlv, dhsml_density_factor=dhf, num_ngb=nngb,
+            hydro_acc=hydro_acc, dt_entropy=dt_entropy, max_signal_vel=msv)
+        return dataclasses.replace(st, gas=gas, overflow_flags=flags)
+
+    def local_step(st: SimState) -> SimState:
+        me = jax.lax.axis_index(AXIS)
+        x0 = me * slab_w
+        x1 = x0 + slab_w
+        xc = x0 + 0.5 * slab_w
+
+        ti_local = timeline.min_active_ti_end(st.p.ti_endstep, st.p.alive)
+        ti_next = jax.lax.pmin(ti_local, AXIS)
+        ti_next = jnp.minimum(ti_next, st.pm_ti_endstep)
+
+        st = integrate.drift_all(st, cfg, opts, ti_next)
+        is_pm_step = st.ti_current == st.pm_ti_endstep
+
+        st = _migrate(st, me)
+        st, active = _gravity(st, me, x0, x1, xc, is_pm_step)
+        if st.gas.n_gas_max > 1:
+            st = _sph(st, me, x0, x1, xc, active)
+        if opts.cooling != "none":
+            from gadget_leicester_tpu.models.cooling import apply_cooling
+            st = apply_cooling(st, cfg, opts)
+        st = integrate.advance_and_find_timesteps(st, cfg, opts)
+        st = integrate.pm_step_update(st, cfg, opts, is_pm_step,
+                                      axis_name=AXIS)
+        # overflow bits are shard-local; OR them so the replicated scalar
+        # out-spec is valid (and the host sees every shard's trouble)
+        flags_all = jax.lax.all_gather(st.overflow_flags, AXIS)
+        flags = jax.lax.reduce(flags_all, jnp.int32(0), jnp.bitwise_or, (0,))
+        return dataclasses.replace(st, overflow_flags=flags)
+
+    def make(state_template: SimState):
+        specs = state_specs(state_template)
+        # check_vma off: the replicated outputs (ti_current via pmin,
+        # pm_ti via psum'd vrms, overflow via all-gather OR) are
+        # replicated by construction but not statically inferable
+        fn = jax.shard_map(local_step, mesh=mesh,
+                           in_specs=(specs,), out_specs=specs,
+                           check_vma=False)
+        return jax.jit(fn)
+
+    return make

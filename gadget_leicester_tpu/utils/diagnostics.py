@@ -98,3 +98,46 @@ def format_energy_line(time: float, st: EnergyStats) -> str:
         f"{time:.8g} {float(st.total):.8g} {float(st.internal):.8g} "
         f"{float(st.potential):.8g} {float(st.kinetic):.8g}"
     )
+
+
+class LayzerIrvineTracker:
+    """Cosmic energy (Layzer-Irvine) conservation instrument for comoving
+    runs — the rebuild of the accuracy check GADGET users apply to
+    [G2: global.c :: energy_statistics()] output (Springel 2005 §5).
+
+    With internal velocities vel = a^2 dx/dt and comoving potential
+    phi_c = p.pot, the peculiar energies are
+
+        T = 0.5 sum m (vel/a)^2      (peculiar kinetic)
+        W = 0.5 sum m phi_c / a      (peculiar potential)
+        U = sum m u_phys             (thermal; gamma = 5/3)
+
+    and the cosmic energy equation d(T+W+U)/dln a = -(2T + W + 2U)
+    makes E_LI = T + W + U + INT (2T + W + 2U) dln a  a conserved
+    quantity. ``update(a, stats)`` trapezoid-accumulates the integral and
+    returns the relative drift |E_LI - E_LI(a0)| / |W| — the
+    BASELINE.json gate is drift < 1e-3 on the flagship config.
+    """
+
+    def __init__(self):
+        self._prev = None          # (ln a, integrand)
+        self._integral = 0.0
+        self._e0 = None
+
+    def update(self, a: float, stats: EnergyStats) -> float:
+        import math
+        a = float(a)
+        t = float(stats.kinetic) / a**2
+        w = float(stats.potential) / a
+        u = float(stats.internal)
+        integrand = 2.0 * t + w + 2.0 * u
+        lna = math.log(a)
+        if self._prev is not None:
+            lna0, i0 = self._prev
+            self._integral += 0.5 * (integrand + i0) * (lna - lna0)
+        self._prev = (lna, integrand)
+        e = t + w + u + self._integral
+        if self._e0 is None:
+            self._e0 = e
+        wnorm = max(abs(w), 1e-30)
+        return abs(e - self._e0) / wnorm

@@ -53,9 +53,12 @@ class RunLogs:
         fh.flush()
 
     # -- info.txt [G2: every_timestep_stuff()] --------------------------
-    def log_info(self, step: int, t: float, systemstep: float):
+    def log_info(self, step: int, t: float, systemstep: float,
+                 note: str = ""):
         fh = self._file(self.cfg.info_file or "info.txt")
         fh.write(f"\nBegin Step {step}, Time: {t:g}, Systemstep: {systemstep:g}\n")
+        if note:
+            fh.write(f"  {note}\n")
         fh.flush()
 
     # -- cpu.txt --------------------------------------------------------

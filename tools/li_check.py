@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Layzer-Irvine cosmic-energy conservation check on the lcdm_gas config
+(VERDICT r1 item 5; gate |dE_LI|/|W| < 1e-3, BASELINE.json).
+
+Usage: python -u tools/li_check.py [n_side] [a_end] [stats_every]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    a_end = float(sys.argv[2]) if len(sys.argv) > 2 else 0.25
+    every = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    from gadget_leicester_tpu.core.config import (SimOptions, auto_pmgrid,
+                                                  parse_parameter_text)
+    from gadget_leicester_tpu.models.ics import lcdm_gas_ics
+    from gadget_leicester_tpu.models.simulation import (Simulation,
+                                                        potential_pass)
+    from gadget_leicester_tpu.utils.diagnostics import (LayzerIrvineTracker,
+                                                        energy_statistics)
+
+    box = 50000.0
+    param = f"""
+InitCondFile x
+OutputDir  /tmp/li_out
+TimeBegin  0.090909
+TimeMax    1.0
+ComovingIntegrationOn 1
+PeriodicBoundariesOn 1
+BoxSize    {box}
+Omega0     0.3
+OmegaLambda 0.7
+OmegaBaryon 0.04
+HubbleParam 0.7
+ErrTolIntAccuracy 0.025
+MaxSizeTimestep 0.025
+CourantFac 0.15
+DesNumNgb 33
+MaxNumNgbDeviation 2
+ArtBulkViscConst 0.8
+InitGasTemp 1000
+MinGasTemp 5
+SofteningGas  {box / n_side / 30:.3f}
+SofteningHalo {box / n_side / 30:.3f}
+SofteningGasMaxPhys  {box / n_side / 30:.3f}
+SofteningHaloMaxPhys {box / n_side / 30:.3f}
+MinGasHsmlFractional 0.1
+"""
+    cfg = parse_parameter_text(param)
+    pmgrid = auto_pmgrid(2 * n_side**3)
+    opts = SimOptions(periodic=True, pmgrid=pmgrid, gravity_mode="treepm",
+                      sph_backend="auto", sph_capacity=64, sr_capacity=256)
+    sim = Simulation(cfg, opts)
+    pos, vel, mass, ptype, u = lcdm_gas_ics(
+        n_side=n_side, box=box, omega0=0.3, omega_b=0.04,
+        hubble=cfg.hubble_internal, g=cfg.grav_internal)
+    sim.set_ics(pos, vel, mass, ptype, u=u)
+    print(f"N={2*n_side**3} pmgrid={pmgrid} a: 0.0909 -> {a_end}", flush=True)
+
+    tracker = LayzerIrvineTracker()
+
+    def stats():
+        sim.state = potential_pass(sim.state, cfg, opts)
+        st = energy_statistics(sim.state, cfg, opts)
+        a = sim.time
+        d = tracker.update(a, st)
+        print(f"a={a:.4f}  T={float(st.kinetic)/a**2:.6g} "
+              f"W={float(st.potential)/a:.6g} U={float(st.internal):.6g} "
+              f"LI drift={d:.3e} ovf={int(sim.state.overflow_flags)}",
+              flush=True)
+        return d
+
+    t0 = time.time()
+    stats()
+    drift = 0.0
+    nstep = 0
+    while sim.time < a_end and nstep < 4000:
+        sim.step(every)
+        nstep += every
+        drift = stats()
+    print(f"steps={nstep} wall={time.time()-t0:.0f}s final drift={drift:.3e}",
+          flush=True)
+    print("PASS" if drift < 1e-3 else "FAIL", flush=True)
+
+
+if __name__ == "__main__":
+    main()
