@@ -54,7 +54,12 @@ class SimOptions:
     nogravity: bool = False              # -DNOGRAVITY
     unequal_softenings: bool = True      # -DUNEQUALSOFTENINGS
     adaptive_gravsoft_forgas: bool = False  # -DADAPTIVE_GRAVSOFT_FORGAS
-    flexsteps: bool = False              # -DFLEXSTEPS
+    flexsteps: bool = False              # -DFLEXSTEPS — accepted for
+    # Makefile parity, INTENTIONALLY a no-op: the reference staggers
+    # individual timesteps to smooth per-rank MPI load [G2: timestep.c
+    # FLEXSTEPS]; in the TPU sync-point model every chip executes the
+    # same program and inactive work is skipped per-tile (activity
+    # gating), so there is no load imbalance for staggering to smooth.
     forcetest: float = 0.0               # -DFORCETEST=frac (0 disables)
     makeglass: int = 0                   # -DMAKEGLASS=n
     # Leicester-fork physics [UNVERIFIED-FORK per SURVEY.md §2]:
@@ -72,6 +77,9 @@ class SimOptions:
     sph_capacity: int = 0                # per-cell capacity for SPH (0 = auto)
     sr_capacity: int = 0                 # per-cell capacity, short-range grav
     direct_threshold: int = 8192         # N below which direct gravity wins
+    hr_types: int = 0                    # PLACEHIGHRESREGION type bitmask
+                                         # (with gravity_mode="zoom")
+    hr_pmgrid: int = 0                   # fine zoom mesh (0 = pmgrid)
     use_pallas: str = "auto"             # "auto"|"on"|"off" — Pallas kernels
                                          # ("auto": on for TPU backends)
     output_potential: bool = False       # -DOUTPUTPOTENTIAL: POT snapshot block

@@ -128,6 +128,11 @@ def compute_forces(
             state = dataclasses.replace(
                 state, overflow_flags=state.overflow_flags
                 | jnp.where(sr_ovf, jnp.int32(1), jnp.int32(0)))
+        elif mode == "zoom":
+            acc, pot, acc_pm, z_ovf = _zoom_gravity(state, cfg, opts, soft)
+            state = dataclasses.replace(
+                state, overflow_flags=state.overflow_flags
+                | jnp.where(z_ovf, jnp.int32(1), jnp.int32(0)))
         elif mode == "tree":
             acc, pot = _tree_gravity(state, cfg, opts, soft)
             acc_pm = jnp.zeros_like(acc)
@@ -192,10 +197,10 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
         opts.use_pallas == "auto" and jax.default_backend() == "tpu")
     if use_pallas:
         from gadget_leicester_tpu.ops.pallas_cells import \
-            shortrange_gravity_pallas_dma
+            shortrange_gravity_pallas_dma9
         cap = opts.sr_capacity if opts.sr_capacity > 0 else 128
         cap = max(128, ((cap + 127) // 128) * 128)  # lane-aligned
-        acc_sr, overflow = shortrange_gravity_pallas_dma(
+        acc_sr, overflow = shortrange_gravity_pallas_dma9(
             p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
             capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
             periodic=True, active=active)
@@ -212,9 +217,19 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
                                           periodic=True)
         overflow = cl.overflow
 
+    # the in-step potential is needed only by sink creation and the
+    # Stamatellos cooling column estimate; otherwise diagnostics get the
+    # FULL potential on demand from compute_potential() [G2: potential.c]
+    # and the PM pass skips the 4th gather component.
+    with_pot = opts.sinks or opts.cooling == "stamatellos"
+
     def compute_pm(_):
-        a, pt = pm_forces_periodic(p.pos, p.mass, p.alive, box, g,
-                                   with_potential=True)
+        if with_pot:
+            a, pt = pm_forces_periodic(p.pos, p.mass, p.alive, box, g,
+                                       with_potential=True)
+        else:
+            a = pm_forces_periodic(p.pos, p.mass, p.alive, box, g)
+            pt = jnp.zeros(p.n_max, a.dtype)
         return a * cfg.grav_internal, pt
 
     if do_pm is None:
@@ -320,6 +335,119 @@ def _tree_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
         periodic=opts.periodic,
         box=float(cfg.box_size),
     )
+
+
+def _zoom_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
+    """PLACEHIGHRESREGION two-mesh zoom gravity for vacuum boundaries —
+    rebuild of [G2: pm_nonperiodic.c with PLACEHIGHRESREGION; forcetree.c
+    short-range with per-region truncation]:
+
+      * COARSE vacuum PM over the bounding box of all alive particles
+        (smoothing a_c = 1.25 coarse cells);
+      * FINE band-pass mesh (erf(a_h) - erf(a_c)) over the auto-fitted
+        bounding box of the opts.hr_types particle types;
+      * short-range pass A: all particles, erfc(a_c) cut at rcut_c,
+        EXCLUDING pairs with both ends in the HR region;
+      * short-range pass B: HR-region particles only, erfc(a_h)/rcut_h.
+
+    Pair (i,j) both-HR: B + fine + coarse = exact. Any other pair:
+    A + coarse = exact. Region boxes are traced (re-fitted every force
+    pass, exactly the reference's behaviour). Returns (acc_sr, pot,
+    acc_pm_scaled, overflow)."""
+    from gadget_leicester_tpu.ops.gravity_direct import (shortrange_trunc,
+                                                         shortrange_trunc_pot)
+    from gadget_leicester_tpu.ops.neighbors import (apply_pairwise,
+                                                    build_cell_list)
+    from gadget_leicester_tpu.ops.pm import (ASMTH, RCUT, pm_forces_diff,
+                                             pm_forces_nonperiodic)
+    from gadget_leicester_tpu.ops.softening import grav_fac, grav_pot
+
+    p = state.p
+    n_c = opts.pmgrid
+    n_h = opts.hr_pmgrid if opts.hr_pmgrid > 0 else opts.pmgrid
+    f = p.pos.dtype
+
+    # coarse region: bounding cube of everything alive (1% pad)
+    lo = jnp.min(jnp.where(p.alive[:, None], p.pos, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(p.alive[:, None], p.pos, -jnp.inf), axis=0)
+    pad = 0.01 * jnp.max(hi - lo) + 1e-6
+    origin_c = lo - pad
+    extent_c = jnp.max(hi - lo) + 2 * pad
+    asmth_c = ASMTH * extent_c / n_c
+    rcut_c = RCUT * asmth_c
+
+    # HR region: bounding cube of the flagged types (padded)
+    hr_sel = p.alive & ((opts.hr_types >> jnp.clip(p.ptype, 0, 5)) & 1 == 1)
+    lo_h = jnp.min(jnp.where(hr_sel[:, None], p.pos, jnp.inf), axis=0)
+    hi_h = jnp.max(jnp.where(hr_sel[:, None], p.pos, -jnp.inf), axis=0)
+    pad_h = 0.05 * jnp.max(hi_h - lo_h) + 1e-6
+    origin_h = lo_h - pad_h
+    extent_h = jnp.max(hi_h - lo_h) + 2 * pad_h
+    asmth_h = ASMTH * extent_h / n_h
+    rcut_h = RCUT * asmth_h
+
+    acc_c, pot_c = pm_forces_nonperiodic(
+        p.pos, p.mass, p.alive, origin_c, extent_c, n_c,
+        with_potential=True)
+    acc_f, pot_f, in_hr = pm_forces_diff(
+        p.pos, p.mass, p.alive, origin_h, extent_h, n_h, asmth_c,
+        with_potential=True)
+    acc_pm = (acc_c + acc_f) * cfg.grav_internal
+    pot_pm = pot_c + pot_f
+
+    src_mass = jnp.where(p.alive, p.mass, 0.0)
+    in_hr_f = in_hr.astype(f)
+
+    def sr_pass(cl, rcut, asmth, exclude_hr_pairs, hr_only):
+        def pair_fn(idx, tp, cand):
+            ts = soft[idx]
+            valid = cand >= 0
+            ci = jnp.maximum(cand, 0)
+            sp = p.pos[ci]
+            sm = jnp.where(valid, src_mass[ci], 0.0)
+            if hr_only:
+                sm = sm * in_hr_f[ci]
+            dx = tp[:, None, :] - sp
+            r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+            h = jnp.maximum(ts[:, None], soft[ci])
+            fac = grav_fac(r, h) * shortrange_trunc(r, asmth)
+            fac = jnp.where(r < rcut, fac, 0.0)
+            pw = grav_pot(r, h) * shortrange_trunc_pot(r, asmth)
+            pw = jnp.where((r < rcut) & (r > 0), pw, 0.0)
+            if exclude_hr_pairs:
+                both = in_hr_f[idx][:, None] * in_hr_f[ci]
+                fac = fac * (1.0 - both)
+                pw = pw * (1.0 - both)
+            w = sm * fac
+            return (-jnp.einsum("bc,bcd->bd", w, dx),
+                    jnp.sum(sm * pw, axis=-1))
+
+        return apply_pairwise(cl, p.pos, pair_fn, block=256)
+
+    n_cells_c = max(3, int(n_c / (RCUT * ASMTH)))
+    cap_c = opts.sr_capacity if opts.sr_capacity > 0 else max(
+        64, -(-4 * p.n_max // n_cells_c**3 // 8) * 8)
+    cl_c = build_cell_list(p.pos, p.alive, origin_c, extent_c,
+                           n_cells=n_cells_c, capacity=cap_c,
+                           periodic=False)
+    acc_a, pot_a = sr_pass(cl_c, rcut_c, asmth_c,
+                           exclude_hr_pairs=True, hr_only=False)
+
+    n_cells_h = max(3, int(n_h / (RCUT * ASMTH)))
+    cap_h = opts.sr_capacity if opts.sr_capacity > 0 else max(
+        64, -(-4 * p.n_max // n_cells_h**3 // 8) * 8)
+    cl_h = build_cell_list(p.pos, p.alive & in_hr, origin_h, extent_h,
+                           n_cells=n_cells_h, capacity=cap_h,
+                           periodic=False)
+    acc_b, pot_b = sr_pass(cl_h, rcut_h, asmth_h,
+                           exclude_hr_pairs=False, hr_only=True)
+    acc_b = jnp.where(in_hr[:, None], acc_b, 0.0)
+    pot_b = jnp.where(in_hr, pot_b, 0.0)
+
+    acc_sr = acc_a + acc_b
+    pot = pot_pm + pot_a + pot_b
+    return acc_sr, pot, jnp.where(p.alive[:, None], acc_pm, 0.0), \
+        cl_c.overflow | cl_h.overflow
 
 
 def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,

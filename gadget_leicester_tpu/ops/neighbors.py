@@ -93,9 +93,13 @@ def build_cell_list(
 
     order = jnp.argsort(cid)  # dead sort to the end
     cid_sorted = cid[order]
-    # rank within cell: i - index of first occurrence of this cid
-    first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    # rank within cell: i - first occurrence of this cid, via an O(N)
+    # cummax segment scan (searchsorted costs an extra O(N log N) pass)
+    i_arr = jnp.arange(n, dtype=jnp.int32)
+    newseg = jnp.concatenate([jnp.ones((1,), bool),
+                              cid_sorted[1:] != cid_sorted[:-1]])
+    first = jax.lax.cummax(jnp.where(newseg, i_arr, 0))
+    rank = i_arr - first
 
     cells = jnp.full((total + 1, capacity), -1, jnp.int32)
     ok = rank < capacity

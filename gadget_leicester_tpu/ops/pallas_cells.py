@@ -411,6 +411,170 @@ def shortrange_gravity_pallas_dma(
     return acc_p, cl.overflow
 
 
+def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap):
+    """Gravity cell-pair kernel, z-column variant: the 27-cell stencil
+    collapses to NINE (dx,dy) columns, each ONE contiguous [8, 3*cap]
+    DMA from a z-padded source layout and one [cap, 3*cap] evaluation.
+    The 27->9 step reduction attacks the measured bottleneck — per-step
+    DMA/loop issue overhead, not per-pair VPU math (bench_sr.py: removing
+    the truncation poly changed the time by only 4.5%)."""
+
+    def kernel(flag_ref, tgt_ref, src_hbm, out_ref, buf, sems):
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        @pl.when(flag_ref[pl.program_id(0)] > 0)
+        def _gated():
+            _run(tgt_ref, src_hbm, out_ref, buf, sems)
+
+    def _run(tgt_ref, src_hbm, out_ref, buf, sems):
+        c = pl.program_id(0)
+        n = n_cells
+        cx = c // (n * n)
+        rem = c % (n * n)
+        cy, cz = rem // n, rem % n
+        t = tgt_ref[0]
+
+        def dma(j, slot):
+            dxo, dyo = j // 3 - 1, j % 3 - 1
+            if periodic:
+                nx_ = (cx + dxo) % n
+                ny_ = (cy + dyo) % n
+            else:
+                nx_ = jnp.clip(cx + dxo, 0, n - 1)
+                ny_ = jnp.clip(cy + dyo, 0, n - 1)
+            row = nx_ * n + ny_
+            return pltpu.make_async_copy(
+                src_hbm.at[row, :, pl.ds(cz * cap, 3 * cap)],
+                buf.at[slot], sems.at[slot])
+
+        dma(0, 0).start()
+
+        def body(j, acc):
+            ax, ay, az = acc
+            slot = jax.lax.rem(j, 2)
+            nxt = jax.lax.rem(j + 1, 2)
+
+            @pl.when(j + 1 < 9)
+            def _():
+                dma(j + 1, nxt).start()
+
+            dma(j, slot).wait()
+            s = buf[slot]
+            dxo, dyo = j // 3 - 1, j % 3 - 1
+            if periodic:
+                shx = (jnp.where(cx + dxo < 0, -box, 0.0)
+                       + jnp.where(cx + dxo >= n, box, 0.0))
+                shy = (jnp.where(cy + dyo < 0, -box, 0.0)
+                       + jnp.where(cy + dyo >= n, box, 0.0))
+            else:
+                shx = shy = jnp.float32(0.0)
+            dx = t[0, :][:, None] - (s[0, :] + shx)[None, :]
+            dy = t[1, :][:, None] - (s[1, :] + shy)[None, :]
+            # z wrap rides the padded copies' ORIGINAL coords: min-image
+            dz = t[2, :][:, None] - s[2, :][None, :]
+            if periodic:
+                dz = dz - box * jnp.round(dz * (1.0 / box))
+            r2 = dx * dx + dy * dy + dz * dz
+            rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
+
+            hmax = jnp.maximum(jnp.max(t[4, :]), jnp.max(s[4, :]))
+            r2min = jnp.min(jnp.where(r2 > 0.0, r2, 1e37))
+
+            def fac_softened(_):
+                r = r2 * rinv
+                hh = jnp.maximum(t[4, :][:, None], s[4, :][None, :])
+                hhinv = jnp.minimum(t[6, :][:, None], s[6, :][None, :])
+                return _grav_fac_nodiv(r, rinv, hh, hhinv)
+
+            def fac_plain(_):
+                return rinv * rinv * rinv
+
+            fac = jax.lax.cond(r2min < hmax * hmax, fac_softened,
+                               fac_plain, operand=None)
+            if asmth > 0.0:
+                fac = fac * _shortrange_trunc_pallas(r2 * rinv, asmth)
+            ok = (r2 < rcut * rcut) & (r2 > 0.0) & (s[5, :][None, :] > 0.0)
+            if not periodic:
+                # clamped columns at the x/y edges must not re-count
+                inb = ((cx + dxo >= 0) & (cx + dxo < n)
+                       & (cy + dyo >= 0) & (cy + dyo < n))
+                ok = ok & inb
+            w = jnp.where(ok, s[3, :][None, :] * fac, 0.0)
+            return (ax - jnp.sum(w * dx, axis=1),
+                    ay - jnp.sum(w * dy, axis=1),
+                    az - jnp.sum(w * dz, axis=1))
+
+        z = jnp.zeros((cap,), t.dtype)
+        ax, ay, az = jax.lax.fori_loop(0, 9, body, (z, z, z))
+        out_ref[0, 0, :] = ax
+        out_ref[0, 1, :] = ay
+        out_ref[0, 2, :] = az
+
+    return kernel
+
+
+def _zpad_columns(soa, n: int, cap: int, periodic: bool):
+    """[C,8,cap] -> z-column layout [n*n, 8, (n+2)*cap]: each (x,y) row
+    carries its z-cells contiguously in the lane dim, with wrap copies at
+    both ends, so a (dx,dy) stencil column is ONE contiguous DMA."""
+    arr = soa.reshape(n, n, n, 8, cap)
+    if periodic:
+        lo, hi = arr[:, :, -1:], arr[:, :, :1]
+    else:
+        # non-periodic: dead padding (mass 0, parked positions)
+        lo = jnp.zeros_like(arr[:, :, :1]).at[..., :3, :].set(-7e3)
+        hi = lo
+    arr = jnp.concatenate([lo, arr, hi], axis=2)      # [n,n,n+2,8,cap]
+    return arr.transpose(0, 1, 3, 2, 4).reshape(n * n, 8, (n + 2) * cap)
+
+
+@partial(hybrid_jit, static_argnames=("box", "n_cells", "capacity", "periodic",
+                                   "asmth", "rcut"))
+def shortrange_gravity_pallas_dma9(
+    pos, mass, soft, alive, box: float, n_cells: int, capacity: int = 128,
+    asmth: float = 0.0, rcut: float = 1e30, periodic: bool = True,
+    active=None,
+):
+    """Nine-column variant of shortrange_gravity_pallas_dma (TPU only)."""
+    cl = build_cell_list(pos, alive, 0.0, box, n_cells=n_cells,
+                         capacity=capacity, periodic=periodic)
+    soa = pack_cells_soa(cl, pos, mass, soft, alive)
+    c, _, cap = soa.shape
+    soa_z = _zpad_columns(soa, n_cells, cap, periodic)
+    if active is None:
+        flags = jnp.ones((c,), jnp.int32)
+    else:
+        flags = cell_activity_flags(cl, active)
+
+    out = pl.pallas_call(
+        _make_kernel_dma9(float(box), asmth, rcut, periodic, n_cells, cap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(c,),
+            in_specs=[
+                pl.BlockSpec((1, 8, cap), lambda ci, *_: (ci, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, cap), lambda ci, *_: (ci, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, 3 * cap), soa.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, 8, cap), soa.dtype),
+    )(flags, soa, soa_z)
+
+    idx = jnp.maximum(cl.cells, 0)
+    valid = cl.cells >= 0
+    n_p = pos.shape[0]
+    flat_idx = jnp.where(valid, idx, n_p).reshape(-1)
+    acc = jnp.zeros((n_p + 1, 3), pos.dtype)
+    acc = acc.at[flat_idx, 0].set(out[:, 0, :].reshape(-1), mode="drop")
+    acc = acc.at[flat_idx, 1].set(out[:, 1, :].reshape(-1), mode="drop")
+    acc = acc.at[flat_idx, 2].set(out[:, 2, :].reshape(-1), mode="drop")
+    return jnp.where(alive[:, None], acc[:n_p], 0.0), cl.overflow
+
+
 # ---------------------------------------------------------------------------
 # SPH density + hydro cell-pair kernels
 # ---------------------------------------------------------------------------

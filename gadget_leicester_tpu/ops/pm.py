@@ -272,3 +272,83 @@ def pm_potential_periodic(pos, mass, alive, box: float, n: int,
     g_k = greens_function(n, box, asmth_grid, dtype=f)
     phi = jnp.fft.irfftn(g_k * rho_k / (box / n) ** 3, (n, n, n))
     return cic_gather(phi, posw, box, n)
+
+
+# ---------------------------------------------------------------------------
+# Two-level zoom PM — rebuild of [G2: pm_nonperiodic.c PLACEHIGHRESREGION]
+# ---------------------------------------------------------------------------
+def _freespace_diff_kernel_k(n: int, cell, asmth_hi, asmth_lo, dtype):
+    """FFT of the BAND-PASS free-space kernel on the 2n^3 padded grid:
+
+        g_diff(x) = -[erf(|x|/(2 a_hi)) - erf(|x|/(2 a_lo))] / |x|
+
+    i.e. the force content between the fine-mesh smoothing a_hi and the
+    coarse-mesh smoothing a_lo — what the reference's second high-res
+    mesh supplies inside the zoom region [G2: pm_nonperiodic.c kernel
+    setup with PLACEHIGHRESREGION]. `cell`/`asmth_*` may be traced (the
+    region auto-fits the flagged particle types each PM step)."""
+    m = 2 * n
+    ax = jnp.where(jnp.arange(m) < n, jnp.arange(m), jnp.arange(m) - m)
+    ax = ax.astype(dtype) * cell
+    X, Y, Z = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    r_safe = jnp.maximum(r, 1e-30)
+    g = -(jax.lax.erf(r_safe / (2.0 * asmth_hi))
+          - jax.lax.erf(r_safe / (2.0 * asmth_lo))) / r_safe
+    g0 = -(1.0 / asmth_hi - 1.0 / asmth_lo) / jnp.sqrt(jnp.pi)
+    g = jnp.where(r > 0, g, g0)
+    gk = jnp.fft.rfftn(g)
+    kf = 2.0 * jnp.pi / (m * cell)
+    kx = jnp.fft.fftfreq(m, 1.0 / m).astype(dtype) * kf
+    kz = jnp.arange(m // 2 + 1, dtype=dtype) * kf
+
+    def sinc(x):
+        x = jnp.abs(x)
+        return jnp.where(x > 1e-8, jnp.sin(x) / jnp.where(x > 1e-8, x, 1.0),
+                         1.0)
+
+    KX, KY, KZ = jnp.meshgrid(kx, kx, kz, indexing="ij")
+    w = (sinc(KX * cell / 2) * sinc(KY * cell / 2) * sinc(KZ * cell / 2)) ** 2
+    return gk / jnp.maximum(w, 1e-8) ** 2
+
+
+@partial(hybrid_jit, static_argnames=("n", "with_potential"))
+def pm_forces_diff(
+    pos, mass, alive, origin, extent, n: int, asmth_lo,
+    asmth_grid: float = ASMTH, with_potential: bool = False,
+):
+    """Band-pass zoom-mesh force for particles in [origin, origin+extent):
+    smooth force at the FINE scale minus the coarse-mesh content already
+    supplied at `asmth_lo`. Sources AND targets are the in-region alive
+    particles (out-of-region rows return zero). `origin`/`extent` may be
+    traced."""
+    f = pos.dtype
+    origin = jnp.broadcast_to(jnp.asarray(origin, f), (3,))
+    extent = jnp.asarray(extent, f)
+    cell = extent / n
+    asmth_hi = asmth_grid * cell
+    m = 2 * n
+    rel = pos - origin[None, :]
+    in_reg = jnp.all((rel >= 0) & (rel < extent), axis=-1) & alive
+    msrc = jnp.where(in_reg, mass, 0.0).astype(f)
+    posw = jnp.clip(rel, 0.0, extent * 0.9999999)
+    grid = cic_deposit(posw, msrc, 2.0 * extent, m)
+    gk = _freespace_diff_kernel_k(n, cell, asmth_hi, asmth_lo, f)
+    phi_k = jnp.fft.rfftn(grid) * gk
+    kf = 2.0 * jnp.pi / (m * cell)
+    kx = jnp.fft.fftfreq(m, 1.0 / m).astype(f) * kf
+    kz = jnp.arange(m // 2 + 1, dtype=f) * kf
+    KX, KY, KZ = jnp.meshgrid(kx, kx, kz, indexing="ij")
+    comp = []
+    h = cell
+    for K in (KX, KY, KZ):
+        mult = -1j * (8.0 * jnp.sin(K * h) - jnp.sin(2.0 * K * h)) / (6.0 * h)
+        comp.append(jnp.fft.irfftn(mult * phi_k, (m, m, m)))
+    if with_potential:
+        comp.append(jnp.fft.irfftn(phi_k, (m, m, m)))
+    force = jnp.stack(comp, axis=-1)
+    out = cic_gather_vec(force, posw, 2.0 * extent, m)
+    acc = jnp.where(in_reg[:, None], out[:, :3], 0.0)
+    if with_potential:
+        return acc, jnp.where(in_reg, out[:, 3], 0.0), in_reg
+    return acc, in_reg

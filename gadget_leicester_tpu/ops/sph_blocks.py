@@ -62,8 +62,11 @@ def build_block_lists(pos, mask, origin, extent, n_blocks: int,
     cid_sort = jnp.where(mask, cid_f, total_f)
     order = jnp.argsort(cid_sort)
     cid_sorted = cid_sort[order]
-    first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    i_arr = jnp.arange(n, dtype=jnp.int32)
+    newseg = jnp.concatenate([jnp.ones((1,), bool),
+                              cid_sorted[1:] != cid_sorted[:-1]])
+    first = jax.lax.cummax(jnp.where(newseg, i_arr, 0))
+    rank = i_arr - first
     ok = (rank < subcap) & (cid_sorted < total_f)
 
     c_sorted = coords[order]
@@ -517,10 +520,15 @@ def density_adaptive_blocks(
     mask_slots = valid.reshape(-1)
     h0_slots = jnp.where(valid, hsml0[idx], 1.0).reshape(-1)
 
-    def sweep(h_slots):
+    def sweep(h_slots, undone=None):
+        fl = flags
+        if undone is not None:
+            # later Newton sweeps touch only tiles that still hold an
+            # unconverged target (undone already excludes inactive slots)
+            fl = jnp.any(undone.reshape(b, lanes), axis=1).astype(jnp.int32)
         out = density_sums_blocks(cl_e, soa_e, soa_o,
                                   h_slots.reshape(b, lanes), box,
-                                  interpret=interpret, flags=flags)
+                                  interpret=interpret, flags=fl)
         rho = out[:, 0, :].reshape(-1)
         drhodh = out[:, 1, :].reshape(-1)
         divv = out[:, 2, :].reshape(-1)

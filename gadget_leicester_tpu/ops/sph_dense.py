@@ -128,8 +128,13 @@ def density_adaptive_generic(
     max_iters: int = 40,
 ) -> DensityResult:
     """Adaptive-h density solve [G2: density.c :: density()], generic over
-    the neighbour-sum backend: ``sweep(h) -> (rho, drho_dh, divv_raw,
-    rot_raw)`` (all-pairs or cell lists).
+    the neighbour-sum backend: ``sweep(h, undone=None) -> (rho, drho_dh,
+    divv_raw, rot_raw)`` (all-pairs or cell lists). ``undone`` (bool mask
+    of slots still iterating) lets tiled backends SKIP fully-converged
+    tiles on later Newton sweeps — the rebuild of the reference's
+    shrinking ntot list [G2: density.c "ntot" re-iteration loop];
+    backends may ignore it and return garbage for done slots (the loop
+    keeps each done slot's last accepted sums).
 
     Newton step on the effective neighbour number
     N_eff = (4 pi/3) h^3 rho / m toward DesNumNgb, with Left/Right
@@ -155,7 +160,9 @@ def density_adaptive_generic(
     h0 = jnp.maximum(hsml0, jnp.asarray(min_hsml, f))
     if max_hsml is not None:
         h0 = jnp.minimum(h0, max_hsml)
-    sums0 = sweep(h0)
+    import inspect
+    takes_undone = len(inspect.signature(sweep).parameters) >= 2
+    sums0 = sweep(h0, None) if takes_undone else sweep(h0)
     z = jnp.zeros_like(h0)
 
     def converged(h, rho):
@@ -192,8 +199,18 @@ def density_adaptive_generic(
         if max_hsml is not None:
             h_next = jnp.minimum(h_next, max_hsml)
         h_out = jnp.where(now_done, h, h_next)
-        sums_new = sweep(h_out)
-        # particles whose h did not change keep consistent sums either way
+        if takes_undone:
+            raw = sweep(h_out, jnp.logical_not(now_done))
+        else:
+            raw = sweep(h_out)
+        # done slots keep their last accepted sums (their tile may have
+        # been skipped and returned zeros); undone slots take the fresh
+        # sweep
+        def mrg(old, new):
+            m = now_done if old.ndim == 1 else now_done[:, None]
+            return jnp.where(m, old, new)
+
+        sums_new = tuple(mrg(o, n) for o, n in zip(sums, raw))
         return (h_out, left_n, right_n, now_done, it + 1, sums_new)
 
     done0 = converged(h0, sums0[0]) | ~gas_mask

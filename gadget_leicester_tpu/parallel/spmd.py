@@ -223,7 +223,7 @@ def _insert_into_dead(fields, alive, recv, valid_in):
 # The SPMD step factory
 # ---------------------------------------------------------------------------
 def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
-                   ghost_frac: float = 0.5, migrate_frac: float = 0.15):
+                   migrate_frac: float = 0.15):
     """Jitted owner-computes sync-point step over `mesh` (state in the
     to_spmd slab layout). Requires periodic TreePM (+SPH), slab width >=
     rcut and >= the SPH cell edge; sinks unsupported."""
@@ -316,7 +316,9 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                        p.pot / jnp.maximum(cfg.grav_internal, 1e-37)),
             operand=None)
 
-        gcap = max(8, int(ghost_frac * p.n_max))
+        # ghost strips can approach the whole slab when rcut ~ slab_w;
+        # full-buffer capacity makes the exchange overflow-free
+        gcap = p.n_max
         ghosts, gvalid, ovf = _ghost_exchange(
             [p.pos, p.mass, soft], jnp.mod(p.pos[:, 0], box), p.alive,
             x0, x1, rcut, gcap, d)
@@ -331,12 +333,16 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
 
         ext_x = slab_w + 2.0 * rcut
         nx = max(1, int(ext_x / rcut))
+        # occupancy-derived capacity (local grids are small; 3x headroom)
+        n_cat = cat_pos.shape[0]
+        cap_sr = opts.sr_capacity if opts.sr_capacity > 0 else max(
+            64, -(-3 * n_cat // (nx * nyz * nyz) // 8) * 8)
         cl = build_cell_list(
             cat_pos, cat_alive,
             origin=jnp.array([x0 - rcut, 0.0, 0.0], lpos.dtype),
             extent=jnp.array([ext_x, box, box], lpos.dtype),
             n_cells=(nx, nyz, nyz),
-            capacity=opts.sr_capacity if opts.sr_capacity > 0 else 128,
+            capacity=cap_sr,
             periodic=(False, True, True))
         acc_sr = shortrange_gravity_cells(
             cl, cat_pos, cat_mass, cat_soft, cat_alive,
@@ -383,7 +389,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
 
         lx = _wrap_to_slab(jnp.mod(p.pos[:ng, 0], box), xc, box)
         lpos = p.pos[:ng].at[:, 0].set(lx)
-        gcap = max(8, int(0.5 * ng))
+        gcap = ng
         h0 = jnp.minimum(gas.hsml, max_hsml)
 
         # ---- round 1: kinematic ghosts for the density solve -----------
@@ -401,12 +407,15 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         cat_mask = jnp.concatenate([gas_mask, gv])
 
         nx = max(1, int((slab_w + 2 * cell_sph) / cell_sph))
+        n_cat = cat_pos.shape[0]
+        cap_sph = opts.sph_capacity if opts.sph_capacity > 0 else max(
+            64, -(-3 * n_cat // (nx * n_sph * n_sph) // 8) * 8)
         cl = build_cell_list(
             cat_pos, cat_mask,
             origin=jnp.array([x0 - cell_sph, 0.0, 0.0], lpos.dtype),
             extent=jnp.array([slab_w + 2 * cell_sph, box, box], lpos.dtype),
             n_cells=(nx, n_sph, n_sph),
-            capacity=opts.sph_capacity if opts.sph_capacity > 0 else 128,
+            capacity=cap_sph,
             periodic=(False, True, True))
         dres = density_adaptive_cells(
             cl, cat_pos, cat_vel, cat_mass, jnp.concatenate(
@@ -457,7 +466,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
             origin=jnp.array([x0 - cell_sph, 0.0, 0.0], lpos.dtype),
             extent=jnp.array([slab_w + 2 * cell_sph, box, box], lpos.dtype),
             n_cells=(nx, n_sph, n_sph),
-            capacity=opts.sph_capacity if opts.sph_capacity > 0 else 128,
+            capacity=cap_sph,
             periodic=(False, True, True))
         hres = hydro_force_cells(
             cl2, cat2["pos"], cat2["vel"], cat2["mass"], cat2["hsml"],
@@ -506,10 +515,14 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         st = integrate.advance_and_find_timesteps(st, cfg, opts)
         st = integrate.pm_step_update(st, cfg, opts, is_pm_step,
                                       axis_name=AXIS)
-        # overflow bits are shard-local; OR them so the replicated scalar
-        # out-spec is valid (and the host sees every shard's trouble)
-        flags_all = jax.lax.all_gather(st.overflow_flags, AXIS)
-        flags = jax.lax.reduce(flags_all, jnp.int32(0), jnp.bitwise_or, (0,))
+        # overflow bits are shard-local; OR them across shards (psum per
+        # bit) so the replicated scalar out-spec is valid and the host
+        # sees every shard's trouble
+        flags = jnp.int32(0)
+        for k in range(4):
+            bit = (st.overflow_flags >> k) & 1
+            bit = jnp.minimum(jax.lax.psum(bit, AXIS), 1)
+            flags = flags | (bit << k)
         return dataclasses.replace(st, overflow_flags=flags)
 
     def make(state_template: SimState):
