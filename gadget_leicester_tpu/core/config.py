@@ -376,6 +376,10 @@ _MAKEFILE_FLAGS = {
     "DOUBLEPRECISION": ("dtype", lambda v: "f64"),
     "COOLING": ("cooling", lambda v: v if isinstance(v, str) else "beta"),
     "SINKS": ("sinks", None),
+    # PLACEHIGHRESREGION=<type bitmask> selects the two-mesh zoom path
+    # [G2: pm_nonperiodic.c]; pair with gravity_mode="zoom" (vacuum runs)
+    "PLACEHIGHRESREGION": ("hr_types", int),
+    "HIGHRESPMGRID": ("hr_pmgrid", int),
 }
 
 

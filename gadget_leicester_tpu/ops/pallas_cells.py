@@ -35,25 +35,27 @@ from gadget_leicester_tpu.ops.neighbors import CellList, build_cell_list
 
 
 def pack_cells_soa(cl: CellList, pos, mass, soft, alive):
-    """[C, 8, cap] SoA tiles from a cell list (plain XLA gather)."""
+    """[C, 8, cap] SoA tiles from a cell list.
+
+    ONE [N,8]-row gather + transpose instead of six separate scalar
+    gathers (per-gather op overhead dominated the old form). Row 6 =
+    1/soft so kernels avoid per-pair reciprocals; invalid slots park at
+    a FINITE far offset (1e30 would overflow r^2 to inf in f32 and leak
+    NaN through 0*inf in masked products)."""
     c, cap = cl.cells.shape
     idx = jnp.maximum(cl.cells, 0)
     valid = (cl.cells >= 0) & alive[idx]
-    # Park invalid slots at a FINITE offset. (1e30 overflows r^2 to inf in
-    # f32 and 0*inf = NaN leaks through products that are masked only
-    # afterwards; finite parking keeps every masked product an exact 0.)
+    soft_inv = jnp.where(soft > 0, 1.0 / soft, 0.0)
+    table = jnp.stack(
+        [pos[:, 0], pos[:, 1], pos[:, 2], mass, soft,
+         jnp.ones_like(mass), soft_inv, jnp.zeros_like(mass)], axis=1)
+    rows = table[idx]                       # [C, cap, 8]
     far = -7.0 / cl.inv_cell[0]
-    x = jnp.where(valid, pos[idx, 0], far)
-    y = jnp.where(valid, pos[idx, 1], far)
-    z = jnp.where(valid, pos[idx, 2], far)
-    m = jnp.where(valid, mass[idx], 0.0)
-    sft = jnp.where(valid, soft[idx], 0.0)
-    sft_inv = jnp.where(valid & (soft[idx] > 0), 1.0 / soft[idx], 0.0)
-    v = valid.astype(pos.dtype)
-    zero = jnp.zeros_like(m)
-    # row 6 = 1/soft so kernels avoid per-pair reciprocals (division is a
-    # multi-pass VPU op): h_pair = max(soft), hinv_pair = min(inv)
-    return jnp.stack([x, y, z, m, sft, v, sft_inv, zero], axis=1)
+    park = jnp.stack([far, far, far, jnp.zeros_like(far),
+                      jnp.zeros_like(far), jnp.zeros_like(far),
+                      jnp.zeros_like(far), jnp.zeros_like(far)])
+    rows = jnp.where(valid[:, :, None], rows, park[None, None, :])
+    return rows.transpose(0, 2, 1)          # [C, 8, cap]
 
 
 def neighbor_table(n_cells: int, periodic: bool):
@@ -579,20 +581,18 @@ def shortrange_gravity_pallas_dma9(
 # SPH density + hydro cell-pair kernels
 # ---------------------------------------------------------------------------
 def pack_sph_soa(cl: CellList, pos, vel, mass, hsml, gas_mask):
-    """[C, 8, cap] rows = x, y, z, m, vx, vy, vz, h (invalid: m=0, parked)."""
+    """[C, 8, cap] rows = x, y, z, m, vx, vy, vz, h (invalid: m=0,
+    parked). One [N,8]-row gather + transpose (see pack_cells_soa)."""
     idx = jnp.maximum(cl.cells, 0)
     valid = (cl.cells >= 0) & gas_mask[idx]
-    # finite parking — see pack_cells_soa comment (f32 inf/NaN leakage)
+    table = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], mass,
+                       vel[:, 0], vel[:, 1], vel[:, 2], hsml], axis=1)
+    rows = table[idx]                       # [C, cap, 8]
     far = jnp.asarray(-7.0, pos.dtype) / cl.inv_cell[0]
-    x = jnp.where(valid, pos[idx, 0], far)
-    y = jnp.where(valid, pos[idx, 1], far)
-    z = jnp.where(valid, pos[idx, 2], far)
-    m = jnp.where(valid, mass[idx], 0.0)
-    vx = jnp.where(valid, vel[idx, 0], 0.0)
-    vy = jnp.where(valid, vel[idx, 1], 0.0)
-    vz = jnp.where(valid, vel[idx, 2], 0.0)
-    h = jnp.where(valid, hsml[idx], 1.0)
-    return jnp.stack([x, y, z, m, vx, vy, vz, h], axis=1)
+    z0 = jnp.zeros_like(far)
+    park = jnp.stack([far, far, far, z0, z0, z0, z0, z0 + 1.0])
+    rows = jnp.where(valid[:, :, None], rows, park[None, None, :])
+    return rows.transpose(0, 2, 1)          # [C, 8, cap]
 
 
 def _pair_geometry(t, s, box, periodic):

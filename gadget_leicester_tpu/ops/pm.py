@@ -28,8 +28,28 @@ ASMTH = 1.25  # in units of mesh cells [G2: allvars.h]
 RCUT = 4.5    # in units of asmth
 
 
+def _cic_weights8(pos, box: float, n: int):
+    """Base cell [N,3] (wrapped) + the 8 corner weights [N,8] in
+    (dx,dy,dz) bit order (k = 4*dx + 2*dy + dz)."""
+    u = pos * (n / box)
+    i0f = jnp.floor(u)
+    frac = u - i0f
+    i0 = jnp.mod(i0f.astype(jnp.int32), n)
+    wx = jnp.stack([1.0 - frac[:, 0], frac[:, 0]], -1)
+    wy = jnp.stack([1.0 - frac[:, 1], frac[:, 1]], -1)
+    wz = jnp.stack([1.0 - frac[:, 2], frac[:, 2]], -1)
+    w = (wx[:, :, None, None] * wy[:, None, :, None]
+         * wz[:, None, None, :]).reshape(-1, 8)
+    return i0, w
+
+
 def cic_deposit(pos, weight, box: float, n: int):
-    """Cloud-in-cell mass assignment onto an [n,n,n] periodic mesh."""
+    """Cloud-in-cell mass assignment onto an [n,n,n] periodic mesh.
+
+    Eight per-corner point scatter-adds — measured the FASTEST XLA form
+    on TPU: a single [N,8]-row scatter is 6% slower (scatter cost scales
+    with total updates, unlike gathers), and a windowed [N,2,2,2]
+    scatter is 59x slower (BASELINE.md)."""
     f = pos.dtype
     u = pos * (n / box)
     i0 = jnp.floor(u).astype(jnp.int32)
@@ -50,42 +70,36 @@ def cic_deposit(pos, weight, box: float, n: int):
 
 def cic_gather(grid, pos, box: float, n: int):
     """CIC interpolation of a scalar mesh field back to particle positions."""
-    u = pos * (n / box)
-    i0 = jnp.floor(u).astype(jnp.int32)
-    frac = u - i0
-    val = jnp.zeros(pos.shape[0], grid.dtype)
-    for dx in (0, 1):
-        wx = jnp.where(dx == 0, 1.0 - frac[:, 0], frac[:, 0])
-        ix = jnp.mod(i0[:, 0] + dx, n)
-        for dy in (0, 1):
-            wy = jnp.where(dy == 0, 1.0 - frac[:, 1], frac[:, 1])
-            iy = jnp.mod(i0[:, 1] + dy, n)
-            for dz in (0, 1):
-                wz = jnp.where(dz == 0, 1.0 - frac[:, 2], frac[:, 2])
-                iz = jnp.mod(i0[:, 2] + dz, n)
-                val = val + grid[ix, iy, iz] * wx * wy * wz
-    return val
+    return cic_gather_vec(grid[..., None], pos, box, n)[:, 0]
 
 
 def cic_gather_vec(field, pos, box: float, n: int):
-    """CIC interpolation of a VECTOR mesh field [n,n,n,C] back to particle
-    positions — one indexed read per corner for all C components (3x fewer
-    random-gather operations than per-component gathers)."""
-    u = pos * (n / box)
-    i0 = jnp.floor(u).astype(jnp.int32)
-    frac = u - i0
-    val = jnp.zeros(pos.shape[:1] + field.shape[-1:], field.dtype)
-    for dx in (0, 1):
-        wx = jnp.where(dx == 0, 1.0 - frac[:, 0], frac[:, 0])
-        ix = jnp.mod(i0[:, 0] + dx, n)
-        for dy in (0, 1):
-            wy = jnp.where(dy == 0, 1.0 - frac[:, 1], frac[:, 1])
-            iy = jnp.mod(i0[:, 1] + dy, n)
-            for dz in (0, 1):
-                wz = jnp.where(dz == 0, 1.0 - frac[:, 2], frac[:, 2])
-                iz = jnp.mod(i0[:, 2] + dz, n)
-                val = val + field[ix, iy, iz, :] * (wx * wy * wz)[:, None]
-    return val
+    """CIC interpolation of a VECTOR mesh field [n,n,n,C] back to
+    particle positions.
+
+    The field is re-packed once so each cell's row carries its full
+    2x2x2 corner neighbourhood ([n,n,n,8*C], built with eight rolls),
+    and the per-particle interpolation is then ONE [8*C]-row gather —
+    8x fewer gather ops than per-corner reads (the per-op overhead
+    dominates on TPU; a [N,2,2,2,C] windowed gather materialises a
+    padded 17 GB buffer and OOMs, see BASELINE.md)."""
+    c = field.shape[-1]
+    i0, w = _cic_weights8(pos, box, n)
+    parts = []
+    for k in range(8):
+        dx, dy, dz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        part = field
+        if dx:
+            part = jnp.roll(part, -1, axis=0)
+        if dy:
+            part = jnp.roll(part, -1, axis=1)
+        if dz:
+            part = jnp.roll(part, -1, axis=2)
+        parts.append(part)
+    packed = jnp.concatenate(parts, axis=-1)         # [n,n,n,8*C]
+    rows = packed[i0[:, 0], i0[:, 1], i0[:, 2]]      # [N, 8*C]
+    rows = rows.reshape(-1, 8, c)
+    return jnp.sum(rows * w[:, :, None], axis=1)
 
 
 def greens_function(n: int, box: float, asmth_grid: float, dtype=jnp.float32):

@@ -58,13 +58,48 @@ _P_FIELDS = ["pos", "vel", "mass", "ptype", "pid", "acc", "acc_pm",
 # ---------------------------------------------------------------------------
 # Host-side layout conversion
 # ---------------------------------------------------------------------------
+def balance_edges(pos_x, alive, box: float, d: int,
+                  min_width: float = 0.0) -> np.ndarray:
+    """Cost-balanced slab boundaries — the rebuild of the reference's
+    work-balanced domain split [G2: domain.c :: domain_decompose() with
+    GravCost weights]: slab edges at the x-quantiles of the alive
+    particles (equal counts => equal tile/sort/pack work per shard),
+    blended back toward uniform just enough to honour min_width (the
+    rcut / SPH-cell ghost constraint)."""
+    x = np.sort(np.mod(np.asarray(pos_x)[np.asarray(alive)], box))
+    if len(x) == 0:
+        return np.linspace(0.0, box, d + 1)
+    q = np.quantile(x, np.linspace(0.0, 1.0, d + 1))
+    q[0], q[-1] = 0.0, box
+    uniform = np.linspace(0.0, box, d + 1)
+    # blend toward uniform until every slab is >= min_width
+    for t in np.linspace(0.0, 1.0, 21):
+        e = (1 - t) * q + t * uniform
+        if min_width <= 0 or np.min(np.diff(e)) >= min_width:
+            return e
+    return uniform
+
+
+def spmd_min_width(cfg: SimConfig, opts: SimOptions, n_gas: int) -> float:
+    """The slab-width floor: every slab must span at least rcut (gravity
+    ghosts) and the SPH cell edge (density/hydro ghosts)."""
+    from gadget_leicester_tpu.ops.pm import ASMTH, RCUT
+    box = float(cfg.box_size)
+    rcut = RCUT * ASMTH * box / max(opts.pmgrid, 1)
+    spacing_cells = (n_gas ** (1.0 / 3.0)) / (
+        1.6 * (3.0 * cfg.des_num_ngb / (4.0 * 3.14159)) ** (1.0 / 3.0))
+    cell_sph = box / max(3, int(spacing_cells))
+    return max(rcut, cell_sph) * 1.02
+
+
 def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
-            fill_frac: float = 0.6):
+            fill_frac: float = 0.6, edges=None, min_width: float = 0.0):
     """Re-lay a canonical SimState into the per-shard slab layout.
 
     Each shard's chunk is [cap_g gas slots | cap_r other slots]; global
-    arrays are the concatenation over shards. Returns (state, (cap_g,
-    cap_r))."""
+    arrays are the concatenation over shards. ``edges`` ([d+1] slab
+    boundaries; None = cost-balanced via :func:`balance_edges`).
+    Returns (state, (cap_g, cap_r), edges)."""
     d = mesh.shape[AXIS]
     box = float(cfg.box_size)
     p = state.p
@@ -74,7 +109,11 @@ def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
     is_gas = np.zeros(p.n_max, bool)
     is_gas[:ng] = np.asarray(p.ptype[:ng] == 0) & alive[:ng]
     is_rest = alive & ~is_gas
-    slab = np.clip((np.mod(pos[:, 0], box) / box * d).astype(int), 0, d - 1)
+    if edges is None:
+        edges = balance_edges(pos[:, 0], alive, box, d, min_width)
+    edges = np.asarray(edges, np.float64)
+    slab = np.clip(np.searchsorted(edges, np.mod(pos[:, 0], box),
+                                   side="right") - 1, 0, d - 1)
 
     def cap_for(sel):
         counts = np.bincount(slab[sel], minlength=d)
@@ -115,7 +154,8 @@ def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
         dhsml_density_factor=jnp.where(
             jnp.asarray(newg.hsml) > 0, newg.dhsml_density_factor, 1.0),
         hsml=jnp.maximum(newg.hsml, 1e-30))
-    return dataclasses.replace(state, p=newp, gas=newg), (cap_g, cap_r)
+    return (dataclasses.replace(state, p=newp, gas=newg), (cap_g, cap_r),
+            edges)
 
 
 def from_spmd(state: SimState, cap_g: int, cap_r: int) -> SimState:
@@ -223,15 +263,23 @@ def _insert_into_dead(fields, alive, recv, valid_in):
 # The SPMD step factory
 # ---------------------------------------------------------------------------
 def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
-                   migrate_frac: float = 0.15):
+                   edges=None, migrate_frac: float = 0.15):
     """Jitted owner-computes sync-point step over `mesh` (state in the
-    to_spmd slab layout). Requires periodic TreePM (+SPH), slab width >=
-    rcut and >= the SPH cell edge; sinks unsupported."""
+    to_spmd slab layout). ``edges``: the [d+1] slab boundaries from
+    to_spmd (None = uniform) — cost-balanced decomposition bakes them as
+    constants; repartitioning recompiles, exactly the cadence of the
+    reference's occasional domain_Decomposition(). Requires periodic
+    TreePM (+SPH), every slab >= rcut and >= the SPH cell edge; sinks
+    unsupported."""
     from gadget_leicester_tpu.ops.pm import ASMTH, RCUT
 
     d = mesh.shape[AXIS]
     box = float(cfg.box_size)
-    slab_w = box / d
+    if edges is None:
+        edges = np.linspace(0.0, box, d + 1)
+    edges = np.asarray(edges, np.float64)
+    w_min = float(np.min(np.diff(edges)))
+    edges_j = jnp.asarray(edges, jnp.float32)
     if opts.sinks:
         raise NotImplementedError("sinks under SPMD (global claim): not yet")
     if not (opts.periodic and opts.pmgrid > 0):
@@ -239,8 +287,8 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
     g_pm = opts.pmgrid
     asmth_len = ASMTH * box / g_pm
     rcut = RCUT * asmth_len
-    if slab_w < rcut:
-        raise ValueError(f"slab width {slab_w:.1f} < rcut {rcut:.1f}: "
+    if w_min < rcut:
+        raise ValueError(f"min slab width {w_min:.1f} < rcut {rcut:.1f}: "
                          "fewer shards or finer PM mesh")
     nyz = max(3, int(box / rcut))
 
@@ -249,7 +297,9 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         cap_g = st.gas.n_gas_max
         mcap = max(8, int(migrate_frac * p.n_max))
         xw = jnp.mod(p.pos[:, 0], box)
-        slab_of = jnp.clip((xw / slab_w).astype(jnp.int32), 0, d - 1)
+        slab_of = jnp.clip(
+            jnp.searchsorted(edges_j, xw, side="right") - 1, 0, d - 1
+        ).astype(jnp.int32)
         stay = slab_of == me
         go_l = p.alive & (slab_of == jnp.mod(me - 1, d)) & ~stay
         go_r = p.alive & (slab_of == jnp.mod(me + 1, d)) & ~stay
@@ -331,16 +381,18 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         cat_soft = jnp.concatenate([soft, gsoft])
         cat_alive = jnp.concatenate([p.alive, gvalid])
 
-        ext_x = slab_w + 2.0 * rcut
-        nx = max(1, int(ext_x / rcut))
+        ext_x = (x1 - x0) + 2.0 * rcut
+        nx = max(1, int((w_min + 2.0 * rcut) / rcut))
         # occupancy-derived capacity (local grids are small; 3x headroom)
         n_cat = cat_pos.shape[0]
         cap_sr = opts.sr_capacity if opts.sr_capacity > 0 else max(
             64, -(-3 * n_cat // (nx * nyz * nyz) // 8) * 8)
         cl = build_cell_list(
             cat_pos, cat_alive,
-            origin=jnp.array([x0 - rcut, 0.0, 0.0], lpos.dtype),
-            extent=jnp.array([ext_x, box, box], lpos.dtype),
+            origin=jnp.stack([x0 - rcut, jnp.float32(0.0),
+                              jnp.float32(0.0)]).astype(lpos.dtype),
+            extent=jnp.stack([ext_x, jnp.float32(box),
+                              jnp.float32(box)]).astype(lpos.dtype),
             n_cells=(nx, nyz, nyz),
             capacity=cap_sr,
             periodic=(False, True, True))
@@ -383,7 +435,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
             1.6 * (3.0 * cfg.des_num_ngb / (4.0 * 3.14159)) ** (1.0 / 3.0))
         n_sph = max(3, int(spacing_cells))
         cell_sph = box / n_sph
-        if slab_w < cell_sph:
+        if w_min < cell_sph:
             raise ValueError("slab thinner than the SPH cell edge")
         max_hsml = cell_sph
 
@@ -406,14 +458,17 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         cat_mass = jnp.concatenate([p.mass[:ng], gmass])
         cat_mask = jnp.concatenate([gas_mask, gv])
 
-        nx = max(1, int((slab_w + 2 * cell_sph) / cell_sph))
+        nx = max(1, int((w_min + 2 * cell_sph) / cell_sph))
+        ext_x_s = (x1 - x0) + 2 * cell_sph
         n_cat = cat_pos.shape[0]
         cap_sph = opts.sph_capacity if opts.sph_capacity > 0 else max(
             64, -(-3 * n_cat // (nx * n_sph * n_sph) // 8) * 8)
         cl = build_cell_list(
             cat_pos, cat_mask,
-            origin=jnp.array([x0 - cell_sph, 0.0, 0.0], lpos.dtype),
-            extent=jnp.array([slab_w + 2 * cell_sph, box, box], lpos.dtype),
+            origin=jnp.stack([x0 - cell_sph, jnp.float32(0.0),
+                              jnp.float32(0.0)]).astype(lpos.dtype),
+            extent=jnp.stack([ext_x_s, jnp.float32(box),
+                              jnp.float32(box)]).astype(lpos.dtype),
             n_cells=(nx, n_sph, n_sph),
             capacity=cap_sph,
             periodic=(False, True, True))
@@ -463,8 +518,10 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         )
         cl2 = build_cell_list(
             cat2["pos"], cat2["mask"],
-            origin=jnp.array([x0 - cell_sph, 0.0, 0.0], lpos.dtype),
-            extent=jnp.array([slab_w + 2 * cell_sph, box, box], lpos.dtype),
+            origin=jnp.stack([x0 - cell_sph, jnp.float32(0.0),
+                              jnp.float32(0.0)]).astype(lpos.dtype),
+            extent=jnp.stack([ext_x_s, jnp.float32(box),
+                              jnp.float32(box)]).astype(lpos.dtype),
             n_cells=(nx, n_sph, n_sph),
             capacity=cap_sph,
             periodic=(False, True, True))
@@ -494,9 +551,9 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
 
     def local_step(st: SimState) -> SimState:
         me = jax.lax.axis_index(AXIS)
-        x0 = me * slab_w
-        x1 = x0 + slab_w
-        xc = x0 + 0.5 * slab_w
+        x0 = edges_j[me]
+        x1 = edges_j[me + 1]
+        xc = 0.5 * (x0 + x1)
 
         ti_local = timeline.min_active_ti_end(st.p.ti_endstep, st.p.alive)
         ti_next = jax.lax.pmin(ti_local, AXIS)

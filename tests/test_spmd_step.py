@@ -13,7 +13,8 @@ from gadget_leicester_tpu.core.config import SimOptions, parse_parameter_text
 from gadget_leicester_tpu.models.simulation import Simulation, sync_point_step
 from gadget_leicester_tpu.models.ics import lcdm_gas_ics
 from gadget_leicester_tpu.parallel.mesh import make_mesh
-from gadget_leicester_tpu.parallel.spmd import make_spmd_step, to_spmd
+from gadget_leicester_tpu.parallel.spmd import (make_spmd_step,
+                                                spmd_min_width, to_spmd)
 
 BOX = 50000.0
 PARAM = f"""
@@ -71,8 +72,10 @@ def test_spmd_step_matches_single_device():
     sim.set_ics(pos, vel, mass, ptype, u=u)
 
     mesh = make_mesh(n_dev)
-    spmd_state, (cap_g, cap_r) = to_spmd(sim.state, mesh, cfg)
-    step = make_spmd_step(cfg, opts, mesh)(spmd_state)
+    mw = spmd_min_width(cfg, opts, sim.state.gas.n_gas_max)
+    spmd_state, (cap_g, cap_r), edges = to_spmd(sim.state, mesh, cfg,
+                                                min_width=mw)
+    step = make_spmd_step(cfg, opts, mesh, edges=edges)(spmd_state)
 
     ref = sim.state
     got = spmd_state
@@ -127,8 +130,9 @@ def test_spmd_step_hlo_no_particle_allgather():
         hubble=cfg.hubble_internal, g=cfg.grav_internal)
     sim.set_ics(pos, vel, mass, ptype, u=u)
     mesh = make_mesh(8)
-    spmd_state, _ = to_spmd(sim.state, mesh, cfg)
-    step = make_spmd_step(cfg, opts, mesh)(spmd_state)
+    mw = spmd_min_width(cfg, opts, sim.state.gas.n_gas_max)
+    spmd_state, _, edges = to_spmd(sim.state, mesh, cfg, min_width=mw)
+    step = make_spmd_step(cfg, opts, mesh, edges=edges)(spmd_state)
     txt = step.lower(spmd_state).as_text()
     import re
     n_loc = spmd_state.p.n_max // 8
