@@ -28,6 +28,17 @@ def main():
     n_side = int(os.environ.get("BENCH_NSIDE", "128"))
     n_steps = int(os.environ.get("BENCH_STEPS", "6"))
     import jax
+
+    # persistent compilation cache: the step program costs ~10-20 min of
+    # (remote) compile on this box; cached executables bring repeat runs
+    # down to seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from gadget_leicester_tpu.core.config import SimOptions, parse_parameter_text

@@ -192,6 +192,14 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
     asmth_len = ASMTH * box / g
     rcut = RCUT * asmth_len
     n_cells = max(3, int(box / rcut))
+    # prefer FULLER tiles: every [cap, 3cap] evaluation costs the same,
+    # so a slightly coarser grid that lifts mean occupancy toward cap
+    # cuts the tile count (cells stay >= rcut by construction)
+    # (0.8: mean occupancy headroom for the per-cell count VARIANCE of
+    # real ICs — 0.92 measurably overflowed the two-species lcdm grid)
+    cap_hint = opts.sr_capacity if opts.sr_capacity > 0 else 128
+    while n_cells > 4 and p.n_max / (n_cells - 1) ** 3 <= 0.80 * cap_hint:
+        n_cells -= 1
 
     use_pallas = opts.use_pallas == "on" or (
         opts.use_pallas == "auto" and jax.default_backend() == "tpu")

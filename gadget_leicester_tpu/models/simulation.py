@@ -374,6 +374,17 @@ class Simulation:
                 break
             t_before = self.time
             t0 = _time.time()
+            # profiling harness (SURVEY §5 tracing subsystem): set
+            # GLT_PROFILE_DIR to capture a jax.profiler trace of steps
+            # [GLT_PROFILE_START, GLT_PROFILE_START+GLT_PROFILE_STEPS)
+            pdir = os.environ.get("GLT_PROFILE_DIR")
+            if pdir:
+                pstart = int(os.environ.get("GLT_PROFILE_START", "2"))
+                pn = int(os.environ.get("GLT_PROFILE_STEPS", "2"))
+                if self.step_count == pstart:
+                    jax.profiler.start_trace(pdir)
+                elif self.step_count == pstart + pn:
+                    jax.profiler.stop_trace()
             self.step()
             dt_wall = _time.time() - t0
             t_now = self.time

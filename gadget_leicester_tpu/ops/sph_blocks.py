@@ -114,6 +114,34 @@ def build_block_lists(pos, mask, origin, extent, n_blocks: int,
     return mk(cells_e[:n_e], nb), mk(cells_o[:n_o], nb_o)
 
 
+def _zpad_odd(arr, nb, periodic):
+    """Odd-packing arrays [Bo, rows, lanes] -> z-contiguous layout so the
+    two gz-source blocks of a (gx,gy) column are ADJACENT rows (one DMA):
+    periodic grids append a z-wrap copy ([nb,nb,nb+1] rows); non-periodic
+    odd grids are already (nb+1)^3 and contiguous."""
+    if not periodic:
+        return arr
+    r, l = arr.shape[1], arr.shape[2]
+    a = arr.reshape(nb, nb, nb, r, l)
+    a = jnp.concatenate([a, a[:, :, :1]], axis=2)
+    return a.reshape(nb * nb * (nb + 1), r, l)
+
+
+def _src_pair_base(b, g4, nb, periodic):
+    """Flat base row (in the _zpad_odd layout) of the (gx,gy) column's
+    two z-consecutive source blocks for even target block b."""
+    bx = b // (nb * nb)
+    rem = b % (nb * nb)
+    by, bz = rem // nb, rem % nb
+    gx, gy = g4 >> 1, g4 & 1
+    if periodic:
+        ox, oy = (bx + gx) % nb, (by + gy) % nb
+        return (ox * nb + oy) * (nb + 1) + bz
+    ox, oy = bx + gx, by + gy
+    nb_o = nb + 1
+    return (ox * nb_o + oy) * nb_o + bz
+
+
 def _src_block_traced(b, g, nb, periodic):
     """Flat odd-block id of source g (0..7) for even target block b."""
     bx = b // (nb * nb)
@@ -171,27 +199,28 @@ def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool):
             t = tgt_ref[0]
             ht = h_ref[0, 0, :][:, None]
 
-            def dma_g(g, slot):
-                sid = _src_block_traced(b, g, nb, periodic)
-                return pltpu.make_async_copy(src_hbm.at[sid], buf.at[slot],
-                                             sems.at[slot])
+            def dma_g(g4, slot):
+                sid = _src_pair_base(b, g4, nb, periodic)
+                return pltpu.make_async_copy(src_hbm.at[pl.ds(sid, 2)],
+                                             buf.at[slot], sems.at[slot])
 
             dma_g(0, 0).start()
 
-            def body(g, acc):
-                slot = jax.lax.rem(g, 2)
-                nxt = jax.lax.rem(g + 1, 2)
+            def body(g4, acc):
+                slot = jax.lax.rem(g4, 2)
+                nxt = jax.lax.rem(g4 + 1, 2)
 
-                @pl.when(g + 1 < 8)
+                @pl.when(g4 + 1 < 4)
                 def _():
-                    dma_g(g + 1, nxt).start()
+                    dma_g(g4 + 1, nxt).start()
 
-                dma_g(g, slot).wait()
-                return compute(t, ht, buf[slot], acc)
+                dma_g(g4, slot).wait()
+                acc = compute(t, ht, buf[slot, 0], acc)
+                return compute(t, ht, buf[slot, 1], acc)
 
             z = jnp.zeros((lanes,), jnp.float32)
             rho, drhodh, divv, rx, ry, rz = jax.lax.fori_loop(
-                0, 8, body, (z, z, z, z, z, z))
+                0, 4, body, (z, z, z, z, z, z))
             out_ref[0, 0, :] = rho
             out_ref[0, 1, :] = drhodh
             out_ref[0, 2, :] = divv
@@ -293,12 +322,13 @@ def density_sums_blocks(cl_e: CellList, soa_e, soa_o, h_slots, box: float,
             ],
             out_specs=pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, 8, lanes), soa_e.dtype),
+                pltpu.VMEM((2, 2, 8, lanes), soa_e.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_e.dtype),
-    )(flags, soa_e, h_slots.reshape(b, 1, lanes), soa_o)
+    )(flags, soa_e, h_slots.reshape(b, 1, lanes),
+      _zpad_odd(soa_o, nb, periodic))
 
 
 def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
@@ -356,27 +386,28 @@ def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
             b = pl.program_id(0)
             ta, tb = tgt_a[0], tgt_b[0]
 
-            def dma_g(g, slot):
-                sid = _src_block_traced(b, g, nb, periodic)
-                return pltpu.make_async_copy(src_hbm.at[sid], buf.at[slot],
-                                             sems.at[slot])
+            def dma_g(g4, slot):
+                sid = _src_pair_base(b, g4, nb, periodic)
+                return pltpu.make_async_copy(src_hbm.at[pl.ds(sid, 2)],
+                                             buf.at[slot], sems.at[slot])
 
             dma_g(0, 0).start()
 
-            def body(g, acc):
-                slot = jax.lax.rem(g, 2)
-                nxt = jax.lax.rem(g + 1, 2)
+            def body(g4, acc):
+                slot = jax.lax.rem(g4, 2)
+                nxt = jax.lax.rem(g4 + 1, 2)
 
-                @pl.when(g + 1 < 8)
+                @pl.when(g4 + 1 < 4)
                 def _():
-                    dma_g(g + 1, nxt).start()
+                    dma_g(g4 + 1, nxt).start()
 
-                dma_g(g, slot).wait()
-                return compute(params, ta, tb, buf[slot], acc)
+                dma_g(g4, slot).wait()
+                acc = compute(params, ta, tb, buf[slot, 0], acc)
+                return compute(params, ta, tb, buf[slot, 1], acc)
 
             z = jnp.zeros((lanes,), jnp.float32)
             ax, ay, az, dte, msv = jax.lax.fori_loop(
-                0, 8, body, (z, z, z, z, z))
+                0, 4, body, (z, z, z, z, z))
             out_ref[0, 0, :] = ax
             out_ref[0, 1, :] = ay
             out_ref[0, 2, :] = az
@@ -469,12 +500,12 @@ def hydro_sums_blocks(cl_e: CellList, soa_a, soa_b, src16, box: float,
             ],
             out_specs=pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, 16, lanes), soa_a.dtype),
+                pltpu.VMEM((2, 2, 16, lanes), soa_a.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_a.dtype),
-    )(flags, params, soa_a, soa_b, src16)
+    )(flags, params, soa_a, soa_b, _zpad_odd(src16, nb, periodic))
 
 
 def density_adaptive_blocks(

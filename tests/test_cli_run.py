@@ -92,7 +92,7 @@ def test_cli_subprocess(tmp_path, ic_file):
     r = subprocess.run(
         [sys.executable, "-m", "gadget_leicester_tpu", parampath,
          "--max-steps", "3"],
-        capture_output=True, text=True, timeout=560,
+        capture_output=True, text=True, timeout=1200,
         cwd="/root/repo", env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "particles" in r.stdout
