@@ -327,6 +327,9 @@ def density_sums_blocks(cl_e: CellList, soa_e, soa_o, h_slots, box: float,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_e.dtype),
+        # large-subcap tiles exceed the 16M scoped-VMEM default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(flags, soa_e, h_slots.reshape(b, 1, lanes),
       _zpad_odd(soa_o, nb, periodic))
 
@@ -505,6 +508,8 @@ def hydro_sums_blocks(cl_e: CellList, soa_a, soa_b, src16, box: float,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_a.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(flags, params, soa_a, soa_b, _zpad_odd(src16, nb, periodic))
 
 
