@@ -158,20 +158,17 @@ def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
             edges)
 
 
-def from_spmd(state: SimState, cap_g: int, cap_r: int) -> SimState:
-    """Collapse the slab layout back to a canonical SimState (host)."""
-    import numpy as np
-    from gadget_leicester_tpu.core.state import from_arrays
-
-    d = state.p.n_max // (cap_g + cap_r)
+def from_spmd(state: SimState, cap_g: int, cap_r: int):
+    """Extract the alive particles of a slab-layout state as host arrays
+    (pos, vel, mass, ptype, source_rows) — for snapshots/analysis. Lossy
+    for mid-run dynamics (acc/ti fields not returned); restart dumps save
+    the slab layout verbatim instead."""
     alive = np.asarray(state.p.alive)
     rows = np.where(alive)[0]
     pos = np.asarray(state.p.pos)[rows]
     vel = np.asarray(state.p.vel)[rows]
     mass = np.asarray(state.p.mass)[rows]
     ptype = np.asarray(state.p.ptype)[rows]
-    # NOTE: lossy for mid-run dynamics (acc/ti fields dropped) — intended
-    # for snapshots/analysis; restart dumps save the slab layout verbatim.
     return pos, vel, mass, ptype, rows
 
 
