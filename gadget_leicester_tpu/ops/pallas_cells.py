@@ -495,7 +495,10 @@ def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap):
                                fac_plain, operand=None)
             if asmth > 0.0:
                 fac = fac * _shortrange_trunc_pallas(r2 * rinv, asmth)
-            ok = (r2 < rcut * rcut) & (r2 > 0.0) & (s[5, :][None, :] > 0.0)
+            # no explicit validity term: invalid/padded slots carry m=0
+            # (pack_cells_soa / _zpad_columns) and fac is finite
+            # everywhere, so m*fac is an exact 0 there
+            ok = (r2 < rcut * rcut) & (r2 > 0.0)
             if not periodic:
                 # clamped columns at the x/y edges must not re-count
                 inb = ((cx + dxo >= 0) & (cx + dxo < n)
