@@ -40,6 +40,12 @@ def _dataclass_pytree(cls):
     return cls
 
 
+def strip_grids(state):
+    """Drop the grid cache (for serialization / re-layout: the cache is
+    pure derived data and is rebuilt on the first force pass)."""
+    return dataclasses.replace(state, grids=None)
+
+
 @_dataclass_pytree
 @dataclass
 class ParticleState:
@@ -118,6 +124,10 @@ class SimState:
                                  # capacity, 2=SPH cells over capacity —
                                  # sticky; nonzero means forces dropped
                                  # particles (recompute-bigger needed)
+    grids: object = None      # models.grids.GridCache | None — persistent
+                              # stale-tolerant neighbour grids (rebuilt on a
+                              # displacement cadence, the analog of
+                              # [G2: domain.c TreeDomainUpdateFrequency])
 
     @property
     def n_max(self) -> int:

@@ -24,7 +24,10 @@ from gadget_leicester_tpu.core.state import (GasState, ParticleState,
 
 def save_restart(path: str, state: SimState, step_count: int = 0,
                  extra_meta: dict | None = None) -> None:
-    leaves, treedef = jax.tree_util.tree_flatten(state)
+    from gadget_leicester_tpu.core.state import strip_grids
+    # the grid cache is derived data with config-dependent shapes; restarts
+    # stay sharding- AND capacity-agnostic by rebuilding it on resume
+    leaves, treedef = jax.tree_util.tree_flatten(strip_grids(state))
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     meta = {"step_count": step_count, "n_leaves": len(leaves)}
     if extra_meta:

@@ -123,10 +123,11 @@ def compute_forces(
                 jnp.where(p.ptype[:ng_] == 0, gas_soft, soft[:ng_]))
         acc_pm = state.p.acc_pm
         if mode == "treepm":
-            acc, pot, sr_ovf, acc_pm = _treepm_gravity(
+            acc, pot, sr_ovf, acc_pm, new_grids = _treepm_gravity(
                 state, cfg, opts, soft, do_pm, active)
             state = dataclasses.replace(
-                state, overflow_flags=state.overflow_flags
+                state, grids=new_grids,
+                overflow_flags=state.overflow_flags
                 | jnp.where(sr_ovf, jnp.int32(1), jnp.int32(0)))
         elif mode == "zoom":
             acc, pot, acc_pm, z_ovf = _zoom_gravity(state, cfg, opts, soft)
@@ -180,8 +181,11 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
     """TreePM: FFT PM long-range + cell/Pallas erfc short-range
     [G2: pm_periodic.c + forcetree.c shortrange]. The PM part recomputes
     only when `do_pm` (PM steps); otherwise the frozen state.p.acc_pm is
-    returned unchanged. Returns (acc_sr, pot, overflow, acc_pm) with
-    acc_pm ALREADY scaled by G (it is stored in state)."""
+    returned unchanged. Returns (acc_sr, pot, overflow, acc_pm, grids)
+    with acc_pm ALREADY scaled by G (it is stored in state); ``grids`` is
+    the updated cache (the cell grid is reused across sync points and
+    rebuilt on the displacement cadence — models.grids)."""
+    from gadget_leicester_tpu.models.grids import grav_grid_geometry, refresh
     from gadget_leicester_tpu.ops.gravity_short import shortrange_gravity_cells
     from gadget_leicester_tpu.ops.neighbors import build_cell_list
     from gadget_leicester_tpu.ops.pm import ASMTH, RCUT, pm_forces_periodic
@@ -191,35 +195,41 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
     g = opts.pmgrid
     asmth_len = ASMTH * box / g
     rcut = RCUT * asmth_len
-    n_cells = max(3, int(box / rcut))
-    # prefer FULLER tiles: every [cap, 3cap] evaluation costs the same,
-    # so a slightly coarser grid that lifts mean occupancy toward cap
-    # cuts the tile count (cells stay >= rcut by construction)
-    # (0.8: mean occupancy headroom for the per-cell count VARIANCE of
-    # real ICs — 0.92 measurably overflowed the two-species lcdm grid)
-    cap_hint = opts.sr_capacity if opts.sr_capacity > 0 else 128
-    while n_cells > 4 and p.n_max / (n_cells - 1) ** 3 <= 0.80 * cap_hint:
-        n_cells -= 1
+    # occupancy-tuned grid + staleness margin (shared with the cache
+    # allocator; see grids.grav_grid_geometry for the tuning rationale)
+    n_cells, cap_hint, margin = grav_grid_geometry(cfg, opts, p.n_max)
 
     use_pallas = opts.use_pallas == "on" or (
         opts.use_pallas == "auto" and jax.default_backend() == "tpu")
     if use_pallas:
+        cap = max(128, ((cap_hint + 127) // 128) * 128)  # lane-aligned
+    else:
+        cap = opts.sr_capacity if opts.sr_capacity > 0 else max(
+            64, int(8 * p.n_max / n_cells**3))
+
+    def build():
+        return build_cell_list(p.pos, p.alive, 0.0, box, n_cells=n_cells,
+                               capacity=cap, periodic=True)
+
+    grids = state.grids
+    if grids is not None and grids.grav is not None:
+        count_now = jnp.sum(p.alive).astype(jnp.int32)
+        cl, gv, gd, gc, _ = refresh(
+            grids.grav, grids.grav_valid, grids.grav_disp,
+            grids.grav_count, margin, count_now, build)
+        grids = dataclasses.replace(grids, grav=cl, grav_valid=gv,
+                                    grav_disp=gd, grav_count=gc)
+    else:
+        cl = build()
+
+    if use_pallas:
         from gadget_leicester_tpu.ops.pallas_cells import \
             shortrange_gravity_pallas_dma9
-        cap = opts.sr_capacity if opts.sr_capacity > 0 else 128
-        cap = max(128, ((cap + 127) // 128) * 128)  # lane-aligned
         acc_sr, overflow = shortrange_gravity_pallas_dma9(
             p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
             capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
-            periodic=True, active=active)
+            periodic=True, active=active, cl=cl)
     else:
-        if opts.sr_capacity > 0:
-            cap = opts.sr_capacity
-        else:
-            mean = p.n_max / n_cells**3
-            cap = max(64, int(8 * mean))
-        cl = build_cell_list(p.pos, p.alive, 0.0, box, n_cells=n_cells,
-                             capacity=cap, periodic=True)
         acc_sr = shortrange_gravity_cells(cl, p.pos, p.mass, soft, p.alive,
                                           asmth_len, rcut, box=box,
                                           periodic=True)
@@ -248,7 +258,7 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
             lambda _: (state.p.acc_pm,
                        state.p.pot / jnp.maximum(cfg.grav_internal, 1e-37)),
             operand=None)
-    return acc_sr, pot, overflow, acc_pm
+    return acc_sr, pot, overflow, acc_pm, grids
 
 
 def compute_potential(state: SimState, cfg: SimConfig,
@@ -296,7 +306,7 @@ def compute_potential(state: SimState, cfg: SimConfig,
                 shortrange_gravity_pallas_dma
             cap = opts.sr_capacity if opts.sr_capacity > 0 else 128
             cap = max(128, ((cap + 127) // 128) * 128)
-            _, pot_sr, _ = shortrange_gravity_pallas_dma(
+            _, pot_sr, sr_ovf = shortrange_gravity_pallas_dma(
                 p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
                 capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
                 periodic=True, with_potential=True)
@@ -313,10 +323,21 @@ def compute_potential(state: SimState, cfg: SimConfig,
             _, pot_sr = shortrange_gravity_cells(
                 cl, p.pos, p.mass, soft, p.alive, asmth_len, rcut, box=box,
                 periodic=True, with_potential=True)
+            sr_ovf = cl.overflow
+        # an over-capacity grid truncates the potential feeding the energy
+        # diagnostics — surface it like the force passes do
+        state = dataclasses.replace(
+            state, overflow_flags=state.overflow_flags
+            | jnp.where(sr_ovf, jnp.int32(1), jnp.int32(0)))
         # remove the PM self-term: the mesh potential includes each
         # particle's own smoothed cloud, phi_self = -m/(sqrt(pi) asmth)
         # [G2: potential.c PM self-energy correction]
         pot = pot_pm + pot_sr + p.mass / (jnp.sqrt(jnp.pi) * asmth_len)
+    elif mode == "zoom":
+        _, pot, _, z_ovf = _zoom_gravity(state, cfg, opts, soft)
+        state = dataclasses.replace(
+            state, overflow_flags=state.overflow_flags
+            | jnp.where(z_ovf, jnp.int32(1), jnp.int32(0)))
     elif mode == "tree":
         _, pot = _tree_gravity(state, cfg, opts, soft)
     else:
@@ -453,7 +474,13 @@ def _zoom_gravity(state: SimState, cfg: SimConfig, opts: SimOptions, soft):
     pot_b = jnp.where(in_hr, pot_b, 0.0)
 
     acc_sr = acc_a + acc_b
-    pot = pot_pm + pot_a + pot_b
+    # PM self-energy corrections [G2: potential.c]: each mesh includes the
+    # particle's own smoothed cloud — the coarse vacuum mesh contributes
+    # -m/(sqrt(pi) a_c) for everyone, the band-pass fine mesh an extra
+    # -m (1/a_h - 1/a_c)/sqrt(pi) for in-region particles
+    self_c = p.mass / (jnp.sqrt(jnp.pi) * asmth_c)
+    self_h = p.mass * (1.0 / asmth_h - 1.0 / asmth_c) / jnp.sqrt(jnp.pi)
+    pot = pot_pm + pot_a + pot_b + self_c + jnp.where(in_hr, self_h, 0.0)
     return acc_sr, pot, jnp.where(p.alive[:, None], acc_pm, 0.0), \
         cl_c.overflow | cl_h.overflow
 
@@ -486,26 +513,50 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
             backend = "blocks" if use_pallas else "cells"
 
     if backend == "blocks":
+        from gadget_leicester_tpu.models.grids import (KAPPA_SPH, refresh,
+                                                       sph_blocks_geometry)
         from gadget_leicester_tpu.ops.sph_blocks import (
-            density_adaptive_blocks, hydro_force_blocks)
+            build_block_lists, density_adaptive_blocks, hydro_force_blocks)
         ng = gas.n_gas_max
+        n_blocks, subcap = sph_blocks_geometry(cfg, opts, ng)
+
+        def build_blocks():
+            if opts.periodic:
+                origin, extent = 0.0, cfg.box_size
+            else:
+                lo = jnp.min(jnp.where(gas_mask[:, None], pos_g, jnp.inf),
+                             axis=0)
+                hi = jnp.max(jnp.where(gas_mask[:, None], pos_g, -jnp.inf),
+                             axis=0)
+                pad_w = 0.01 * jnp.max(hi - lo) + 1e-6
+                origin = lo - pad_w
+                extent = jnp.max(hi - lo) + 2 * pad_w
+            return build_block_lists(pos_g, gas_mask, origin, extent,
+                                     n_blocks=n_blocks, subcap=subcap,
+                                     periodic=opts.periodic)
+
+        grids = state.grids
+        if grids is not None and isinstance(grids.sph, tuple):
+            # stale-tolerant cached block lists (models.grids): h is capped
+            # 2*KAPPA_SPH below the fine-cell edge, buying the displacement
+            # margin that keeps the even/odd stencil coverage exact
+            count_now = jnp.sum(gas_mask).astype(jnp.int32)
+            subcell_c = 1.0 / grids.sph[0].inv_cell[0]
+            margin = 2.0 * KAPPA_SPH * subcell_c
+            cls_in, sv, sd, sc, _ = refresh(
+                grids.sph, grids.sph_valid, grids.sph_disp,
+                grids.sph_count, margin, count_now, build_blocks)
+            grids = dataclasses.replace(grids, sph=cls_in, sph_valid=sv,
+                                        sph_disp=sd, sph_count=sc)
+            state = dataclasses.replace(state, grids=grids)
+        else:
+            cls_in = build_blocks()
+        cl_e_in = cls_in[0]
         if opts.periodic:
-            origin, extent = 0.0, cfg.box_size
+            subcell = cfg.box_size / (2 * n_blocks)
         else:
-            lo = jnp.min(jnp.where(gas_mask[:, None], pos_g, jnp.inf), axis=0)
-            hi = jnp.max(jnp.where(gas_mask[:, None], pos_g, -jnp.inf), axis=0)
-            pad_w = 0.01 * jnp.max(hi - lo) + 1e-6
-            origin = lo - pad_w
-            extent = jnp.max(hi - lo) + 2 * pad_w
-        subcap = opts.sph_capacity if opts.sph_capacity > 0 else 32
-        if opts.sph_grid > 0:
-            n_blocks = max(2, opts.sph_grid // 2)
-        else:
-            # mean subcell occupancy ~ 0.78 * subcap (the fill that makes
-            # lane waste == the coarse path's, with 3.4x less volume)
-            n_blocks = max(2, int(round(
-                (ng / (8 * 0.78 * subcap)) ** (1.0 / 3.0))))
-        max_hsml = (cfg.box_size if opts.periodic else extent) / (2 * n_blocks)
+            subcell = 1.0 / cl_e_in.inv_cell[0]
+        max_hsml = (1.0 - 2.0 * KAPPA_SPH) * subcell
         dres, cls_sph = density_adaptive_blocks(
             pos_g, gas.vel_pred, mass_g,
             jnp.minimum(gas.hsml, max_hsml), gas_mask,
@@ -515,9 +566,8 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
             n_blocks=n_blocks, subcap=subcap,
             min_hsml=min_hsml, max_hsml=max_hsml,
             periodic=opts.periodic,
-            origin=origin, extent=extent,
             interpret=not use_pallas,
-            active=active,
+            active=active, cls=cls_in,
         )
     elif backend == "cells" and use_pallas:
         from gadget_leicester_tpu.ops.pallas_cells import (

@@ -48,11 +48,22 @@ def drift_all(state: SimState, cfg: SimConfig, opts: SimOptions, ti_next) -> Sim
     ti0 = state.ti_current
     dt_drift = cosmology.drift_factor(None, cfg, ti0, ti_next)
 
-    pos = p.pos + p.vel * dt_drift
+    dx = p.vel * dt_drift
+    pos = p.pos + dx
     if opts.periodic and cfg.box_size > 0:
         pos = jnp.mod(pos, cfg.box_size)
     pos = jnp.where(p.alive[:, None], pos, p.pos)
     p = dataclasses.replace(p, pos=pos)
+    grids = state.grids
+    if grids is not None:
+        # staleness bookkeeping for the cached neighbour grids: the max
+        # per-particle displacement of this drift bounds how far any
+        # assignment can go stale (models.grids coverage guarantee)
+        from gadget_leicester_tpu.models.grids import note_drift
+        step_max = jnp.max(jnp.where(
+            p.alive, jnp.max(jnp.abs(dx), axis=-1), 0.0))
+        grids = note_drift(grids, step_max)
+        state = dataclasses.replace(state, grids=grids)
 
     ng = gas.n_gas_max
     # per-gas-particle kick factors from its own midpoint to ti_next

@@ -55,9 +55,9 @@ def sync_point_step(state: SimState, cfg: SimConfig, opts: SimOptions) -> SimSta
     steps and all particles receive the PM kick there.
     """
     pm_split = _uses_pm_split(opts)
-    # overflow bits are per-step observations (the host loop reads them at
-    # diagnostics cadence and bumps capacities — recompute-with-bigger)
-    state = dataclasses.replace(state, overflow_flags=jnp.int32(0))
+    # overflow bits are STICKY across steps: the host reads them at
+    # diagnostics cadence, bumps capacities, and clears them there — a
+    # burst between readings must not be lost
     ti_next = timeline.min_active_ti_end(state.p.ti_endstep, state.p.alive)
     if pm_split:
         ti_next = jnp.minimum(ti_next, state.pm_ti_endstep)
@@ -155,6 +155,10 @@ def init_state(
         # => vel = v_file * a0^{3/2} [G2: read_ic.c velocity scaling]
         vel = np.asarray(vel) * cfg.time_begin**1.5
     state = from_arrays(pos, vel, mass, ptype, pid, opts, u=u, pad=pad)
+    from gadget_leicester_tpu.models.grids import make_grid_cache
+    state = dataclasses.replace(
+        state, grids=make_grid_cache(cfg, opts, state.p.n_max,
+                                     state.gas.n_gas_max))
 
     ng = state.gas.n_gas_max
     gas_mask_np = np.zeros(ng, bool)
@@ -279,7 +283,11 @@ class Simulation:
                 n_alive = int(np.asarray(state.p.alive).sum())
                 opts = options_from_config(cfg, n_particles=n_alive, **side_kw)
             sim = cls(cfg, opts)
-            sim.state = state
+            # restarts store no grid cache (derived data); re-allocate
+            from gadget_leicester_tpu.models.grids import make_grid_cache
+            sim.state = dataclasses.replace(
+                state, grids=make_grid_cache(cfg, sim.opts, state.p.n_max,
+                                             state.gas.n_gas_max))
             sim.step_count = meta.get("step_count", 0)
             sim.snapshot_count = meta.get("snapshot_count", 0)
         else:
@@ -398,11 +406,14 @@ class Simulation:
 
             if t_now >= self.next_stats_time:
                 # recompute-with-bigger [G2: gravtree.c realloc-on-overflow
-                # bunching]: the step's overflow bits mean some cell
-                # dropped particles this step — bump the static capacity
-                # (recompiles the step) and continue
+                # bunching]: the STICKY overflow bits mean some cell
+                # dropped particles since the last reading — bump the
+                # static capacity (recompiles the step), clear the flags,
+                # and continue
                 ovf = int(self.state.overflow_flags)
                 if ovf:
+                    self.state = dataclasses.replace(
+                        self.state, overflow_flags=jnp.int32(0))
                     new_opts = self.opts
                     if ovf & 2:
                         backend = new_opts.sph_backend
@@ -426,6 +437,13 @@ class Simulation:
                         f"sr={new_opts.sr_capacity}")
                     self.opts = new_opts
                     opts = new_opts
+                    # new capacities change the cached grid shapes
+                    from gadget_leicester_tpu.models.grids import \
+                        make_grid_cache
+                    self.state = dataclasses.replace(
+                        self.state,
+                        grids=make_grid_cache(cfg, opts, self.state.p.n_max,
+                                              self.state.gas.n_gas_max))
                 # full potential on demand [G2: potential.c] — the in-step
                 # pot of the TreePM path carries only the PM piece
                 self.state = potential_pass(self.state, cfg, opts)

@@ -34,17 +34,24 @@ from jax.experimental.pallas import tpu as pltpu
 from gadget_leicester_tpu.ops.neighbors import CellList, build_cell_list
 
 
-def pack_cells_soa(cl: CellList, pos, mass, soft, alive):
+def pack_cells_soa(cl: CellList, pos, mass, soft, alive, needed=None):
     """[C, 8, cap] SoA tiles from a cell list.
 
     ONE [N,8]-row gather + transpose instead of six separate scalar
     gathers (per-gather op overhead dominated the old form). Row 6 =
     1/soft so kernels avoid per-pair reciprocals; invalid slots park at
     a FINITE far offset (1e30 would overflow r^2 to inf in f32 and leak
-    NaN through 0*inf in masked products)."""
+    NaN through 0*inf in masked products).
+
+    ``needed`` ([C] bool, None = all): tiles that no gated kernel tile
+    will read collapse their gather to row 0 and pack as parked — the
+    active-set economy of [G2: timestep.c] applied to the pack itself."""
     c, cap = cl.cells.shape
     idx = jnp.maximum(cl.cells, 0)
     valid = (cl.cells >= 0) & alive[idx]
+    if needed is not None:
+        valid = valid & needed[:, None]
+        idx = jnp.where(needed[:, None], idx, 0)
     soft_inv = jnp.where(soft > 0, 1.0 / soft, 0.0)
     table = jnp.stack(
         [pos[:, 0], pos[:, 1], pos[:, 2], mass, soft,
@@ -56,6 +63,30 @@ def pack_cells_soa(cl: CellList, pos, mass, soft, alive):
                       jnp.zeros_like(far), jnp.zeros_like(far)])
     rows = jnp.where(valid[:, :, None], rows, park[None, None, :])
     return rows.transpose(0, 2, 1)          # [C, 8, cap]
+
+
+def dilate_flags(flags, n_cells, periodic: bool):
+    """[C] activity flags -> [C] bool 'needed' mask: a cell is needed when
+    it or any 27-stencil neighbour holds an active target (sources for
+    gated tiles). Separable per-axis +-1 dilation."""
+    import numpy as _np
+    ncv = (n_cells, n_cells, n_cells) if isinstance(n_cells, int) \
+        else tuple(n_cells)
+    pv = (periodic,) * 3 if isinstance(periodic, bool) else tuple(periodic)
+    g = flags.reshape(ncv).astype(bool)
+    for ax in range(3):
+        if pv[ax]:
+            g = g | jnp.roll(g, 1, axis=ax) | jnp.roll(g, -1, axis=ax)
+        else:
+            pads = [(0, 0)] * 3
+            pads[ax] = (1, 1)
+            p = jnp.pad(g, pads)
+            sl_lo = [slice(None)] * 3
+            sl_lo[ax] = slice(0, ncv[ax])
+            sl_hi = [slice(None)] * 3
+            sl_hi[ax] = slice(2, ncv[ax] + 2)
+            g = g | p[tuple(sl_lo)] | p[tuple(sl_hi)]
+    return g.reshape(-1)
 
 
 def neighbor_table(n_cells: int, periodic: bool):
@@ -463,18 +494,18 @@ def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap):
             dma(j, slot).wait()
             s = buf[slot]
             dxo, dyo = j // 3 - 1, j % 3 - 1
-            if periodic:
-                shx = (jnp.where(cx + dxo < 0, -box, 0.0)
-                       + jnp.where(cx + dxo >= n, box, 0.0))
-                shy = (jnp.where(cy + dyo < 0, -box, 0.0)
-                       + jnp.where(cy + dyo >= n, box, 0.0))
-            else:
-                shx = shy = jnp.float32(0.0)
-            dx = t[0, :][:, None] - (s[0, :] + shx)[None, :]
-            dy = t[1, :][:, None] - (s[1, :] + shy)[None, :]
-            # z wrap rides the padded copies' ORIGINAL coords: min-image
+            # per-pair minimum image on ALL axes (not per-tile wrap
+            # shifts): stale cached assignments (models.grids) can hold a
+            # particle that has drifted across the periodic wrap, where a
+            # tile-constant shift would mis-place it by a box length;
+            # min-image is shift-invariant mod box so it is exact for any
+            # in-margin staleness
+            dx = t[0, :][:, None] - s[0, :][None, :]
+            dy = t[1, :][:, None] - s[1, :][None, :]
             dz = t[2, :][:, None] - s[2, :][None, :]
             if periodic:
+                dx = dx - box * jnp.round(dx * (1.0 / box))
+                dy = dy - box * jnp.round(dy * (1.0 / box))
                 dz = dz - box * jnp.round(dz * (1.0 / box))
             r2 = dx * dx + dy * dy + dz * dz
             rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
@@ -538,18 +569,29 @@ def _zpad_columns(soa, n: int, cap: int, periodic: bool):
 def shortrange_gravity_pallas_dma9(
     pos, mass, soft, alive, box: float, n_cells: int, capacity: int = 128,
     asmth: float = 0.0, rcut: float = 1e30, periodic: bool = True,
-    active=None,
+    active=None, cl=None,
 ):
-    """Nine-column variant of shortrange_gravity_pallas_dma (TPU only)."""
-    cl = build_cell_list(pos, alive, 0.0, box, n_cells=n_cells,
-                         capacity=capacity, periodic=periodic)
-    soa = pack_cells_soa(cl, pos, mass, soft, alive)
-    c, _, cap = soa.shape
-    soa_z = _zpad_columns(soa, n_cells, cap, periodic)
+    """Nine-column variant of shortrange_gravity_pallas_dma (TPU only).
+
+    ``cl``: optional prebuilt (possibly STALE, models.grids) cell list —
+    pair geometry is per-pair minimum-image so stale assignments within
+    the displacement margin are exact. With ``active``, the SoA pack and
+    the result scatter are restricted to active tiles and their stencil
+    sources (needed-tile gating)."""
+    if cl is None:
+        cl = build_cell_list(pos, alive, 0.0, box, n_cells=n_cells,
+                             capacity=capacity, periodic=periodic)
     if active is None:
-        flags = jnp.ones((c,), jnp.int32)
+        flags = None
+        needed = None
     else:
         flags = cell_activity_flags(cl, active)
+        needed = dilate_flags(flags, n_cells, periodic)
+    soa = pack_cells_soa(cl, pos, mass, soft, alive, needed=needed)
+    c, _, cap = soa.shape
+    soa_z = _zpad_columns(soa, n_cells, cap, periodic)
+    if flags is None:
+        flags = jnp.ones((c,), jnp.int32)
 
     out = pl.pallas_call(
         _make_kernel_dma9(float(box), asmth, rcut, periodic, n_cells, cap),
@@ -571,6 +613,10 @@ def shortrange_gravity_pallas_dma9(
 
     idx = jnp.maximum(cl.cells, 0)
     valid = cl.cells >= 0
+    if active is not None:
+        # only active tiles produced output; inactive particles keep their
+        # frozen acc in the caller — skip their scatter rows entirely
+        valid = valid & (flags[:, None] > 0)
     n_p = pos.shape[0]
     flat_idx = jnp.where(valid, idx, n_p).reshape(-1)
     acc = jnp.zeros((n_p + 1, 3), pos.dtype)
@@ -583,11 +629,15 @@ def shortrange_gravity_pallas_dma9(
 # ---------------------------------------------------------------------------
 # SPH density + hydro cell-pair kernels
 # ---------------------------------------------------------------------------
-def pack_sph_soa(cl: CellList, pos, vel, mass, hsml, gas_mask):
+def pack_sph_soa(cl: CellList, pos, vel, mass, hsml, gas_mask, needed=None):
     """[C, 8, cap] rows = x, y, z, m, vx, vy, vz, h (invalid: m=0,
-    parked). One [N,8]-row gather + transpose (see pack_cells_soa)."""
+    parked). One [N,8]-row gather + transpose (see pack_cells_soa).
+    ``needed`` [C] bool gates the gather per tile (see pack_cells_soa)."""
     idx = jnp.maximum(cl.cells, 0)
     valid = (cl.cells >= 0) & gas_mask[idx]
+    if needed is not None:
+        valid = valid & needed[:, None]
+        idx = jnp.where(needed[:, None], idx, 0)
     table = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], mass,
                        vel[:, 0], vel[:, 1], vel[:, 2], hsml], axis=1)
     rows = table[idx]                       # [C, cap, 8]
@@ -1032,9 +1082,15 @@ def hydro_force_pallas(
     )
 
 
-def scatter_cell_rows(cl: CellList, out, n_particles: int, rows):
-    """[C,8,cap] kernel output -> per-particle arrays for `rows` indices."""
-    idx = jnp.where(cl.cells >= 0, jnp.maximum(cl.cells, 0),
+def scatter_cell_rows(cl: CellList, out, n_particles: int, rows,
+                      needed=None):
+    """[C,8,cap] kernel output -> per-particle arrays for `rows` indices.
+    ``needed`` [C] bool drops whole tiles from the scatter (gated tiles
+    produced no output; their particles keep frozen values upstream)."""
+    keep = cl.cells >= 0
+    if needed is not None:
+        keep = keep & needed[:, None]
+    idx = jnp.where(keep, jnp.maximum(cl.cells, 0),
                     n_particles).reshape(-1)
     results = []
     for r in rows:

@@ -114,6 +114,25 @@ def build_block_lists(pos, mask, origin, extent, n_blocks: int,
     return mk(cells_e[:n_e], nb), mk(cells_o[:n_o], nb_o)
 
 
+def _needed_odd(flags_e, nb: int, periodic: bool):
+    """[B] even-tile activity flags -> [Bo] bool mask of odd blocks that
+    any active even tile reads: even target b streams odd sources b+g,
+    g in {0,1}^3 (periodic wrap / the (nb+1)^3 odd grid)."""
+    g = flags_e.reshape(nb, nb, nb).astype(bool)
+    if periodic:
+        for ax in range(3):
+            g = g | jnp.roll(g, 1, axis=ax)
+        return g.reshape(-1)
+    out = jnp.zeros((nb + 1,) * 3, bool).at[:nb, :nb, :nb].set(g)
+    for ax in range(3):
+        pads = [(0, 0)] * 3
+        pads[ax] = (1, 0)
+        sl = [slice(None)] * 3
+        sl[ax] = slice(0, nb + 1)
+        out = out | jnp.pad(out, pads)[tuple(sl)]
+    return out.reshape(-1)
+
+
 def _zpad_odd(arr, nb, periodic):
     """Odd-packing arrays [Bo, rows, lanes] -> z-contiguous layout so the
     two gz-source blocks of a (gx,gy) column are ADJACENT rows (one DMA):
@@ -520,7 +539,7 @@ def density_adaptive_blocks(
     min_hsml: float = 0.0, max_hsml=None,
     periodic: bool = True, max_iters: int = 40,
     origin=0.0, extent=None, interpret: bool = False,
-    active=None,
+    active=None, cls=None,
 ):
     """Adaptive-h density on the block kernels (API mirrors
     pallas_cells.density_adaptive_pallas; returns (DensityResult,
@@ -529,29 +548,45 @@ def density_adaptive_blocks(
     ``active`` (per-particle bool, None = all): only active targets are
     solved; tiles with no active target skip their sweeps entirely and
     return zeros there — the caller keeps drift-predicted fields for
-    inactive particles [G2: density.c computes only the active list]."""
+    inactive particles [G2: density.c computes only the active list].
+    With ``active``, the SoA packs are also gated to active tiles and
+    their odd-source blocks.
+
+    ``cls``: optional prebuilt (possibly stale within the models.grids
+    displacement margin — pair geometry is per-pair minimum-image)
+    (cl_even, cl_odd) pair; skips the sort."""
     from gadget_leicester_tpu.ops.pallas_cells import pack_sph_soa
     from gadget_leicester_tpu.ops.sph_dense import (DensityResult,
                                                     density_adaptive_generic)
 
-    extent = box if extent is None else extent
-    cl_e, cl_o = build_block_lists(pos, gas_mask, origin, extent,
-                                   n_blocks=n_blocks, subcap=subcap,
-                                   periodic=periodic)
+    if cls is None:
+        extent = box if extent is None else extent
+        cl_e, cl_o = build_block_lists(pos, gas_mask, origin, extent,
+                                       n_blocks=n_blocks, subcap=subcap,
+                                       periodic=periodic)
+    else:
+        cl_e, cl_o = cls
     ng = pos.shape[0]
     b, lanes = cl_e.cells.shape
 
+    if active is not None:
+        from gadget_leicester_tpu.ops.pallas_cells import cell_activity_flags
+        flags = cell_activity_flags(cl_e, active & gas_mask)
+        needed_e = flags.astype(bool)
+        needed_o = _needed_odd(flags, cl_e.n_cells, periodic)
+    else:
+        flags = needed_e = needed_o = None
+
     ones = jnp.ones(ng, pos.dtype)
-    soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask)
-    soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask)
+    soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask,
+                         needed=needed_e)
+    soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask,
+                         needed=needed_o)
     idx = jnp.maximum(cl_e.cells, 0)
     valid = (cl_e.cells >= 0) & gas_mask[idx]
     if active is not None:
-        valid = valid & active[idx]
-        from gadget_leicester_tpu.ops.pallas_cells import cell_activity_flags
-        flags = cell_activity_flags(cl_e, active & gas_mask)
-    else:
-        flags = None
+        valid = valid & active[idx] & needed_e[:, None]
+        idx = jnp.where(needed_e[:, None], idx, 0)
     mass_slots = soa_e[:, 3, :].reshape(-1)
     mask_slots = valid.reshape(-1)
     h0_slots = jnp.where(valid, hsml0[idx], 1.0).reshape(-1)
@@ -616,29 +651,39 @@ def hydro_force_blocks(
     balsara = jnp.abs(div_vel) / (
         jnp.abs(div_vel) + curl_vel + 1e-4 * c_snd / h_safe / fac_mu)
 
-    soa_a = pack_sph_soa(cl_e, pos, vel, mass, hsml, gas_mask)
+    if active is not None:
+        from gadget_leicester_tpu.ops.pallas_cells import cell_activity_flags
+        flags = cell_activity_flags(cl_e, active & gas_mask)
+        needed_e = flags.astype(bool)
+        needed_o = _needed_odd(flags, cl_e.n_cells, cl_e.periodic)
+    else:
+        flags = needed_e = needed_o = None
 
-    def soa_b_of(cl):
+    soa_a = pack_sph_soa(cl_e, pos, vel, mass, hsml, gas_mask,
+                         needed=needed_e)
+
+    def soa_b_of(cl, needed):
         idx = jnp.maximum(cl.cells, 0)
-        valid = ((cl.cells >= 0) & gas_mask[idx]).astype(pos.dtype)
+        valid = (cl.cells >= 0) & gas_mask[idx]
+        if needed is not None:
+            valid = valid & needed[:, None]
+            idx = jnp.where(needed[:, None], idx, 0)
+        valid = valid.astype(pos.dtype)
         zero = jnp.zeros_like(valid)
         return jnp.stack([rho[idx], p_over_rho2[idx], c_snd[idx],
                           balsara[idx], valid, zero, zero, zero], axis=1)
 
-    soa_b = soa_b_of(cl_e)
-    src_a = pack_sph_soa(cl_o, pos, vel, mass, hsml, gas_mask)
-    src16 = jnp.concatenate([src_a, soa_b_of(cl_o)], axis=1)
+    soa_b = soa_b_of(cl_e, needed_e)
+    src_a = pack_sph_soa(cl_o, pos, vel, mass, hsml, gas_mask,
+                         needed=needed_o)
+    src16 = jnp.concatenate([src_a, soa_b_of(cl_o, needed_o)], axis=1)
 
-    if active is not None:
-        from gadget_leicester_tpu.ops.pallas_cells import cell_activity_flags
-        flags = cell_activity_flags(cl_e, active & gas_mask)
-    else:
-        flags = None
     out = hydro_sums_blocks(cl_e, soa_a, soa_b, src16, box, visc_const,
                             hubble_a2_flow, fac_mu, interpret=interpret,
                             flags=flags)
     ax, ay, az, dt_raw, msv = scatter_cell_rows(cl_e, out, ng,
-                                                rows=(0, 1, 2, 3, 4))
+                                                rows=(0, 1, 2, 3, 4),
+                                                needed=needed_e)
     acc = jnp.stack([ax, ay, az], axis=-1)
     dt_ent = dt_raw * GAMMA_MINUS1 / (
         jnp.asarray(hubble_a2_norm, rho.dtype) * rho_safe**GAMMA_MINUS1)

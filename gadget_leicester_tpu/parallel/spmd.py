@@ -154,8 +154,9 @@ def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
         dhsml_density_factor=jnp.where(
             jnp.asarray(newg.hsml) > 0, newg.dhsml_density_factor, 1.0),
         hsml=jnp.maximum(newg.hsml, 1e-30))
-    return (dataclasses.replace(state, p=newp, gas=newg), (cap_g, cap_r),
-            edges)
+    # grid caches are layout-specific derived data — drop on re-layout
+    return (dataclasses.replace(state, p=newp, gas=newg, grids=None),
+            (cap_g, cap_r), edges)
 
 
 def from_spmd(state: SimState, cap_g: int, cap_r: int):
@@ -240,13 +241,18 @@ def _wrap_to_slab(x, xc, box):
 
 
 def _insert_into_dead(fields, alive, recv, valid_in):
-    """Scatter received rows into dead slots; returns (fields, alive, ovf)."""
+    """Scatter received rows into dead slots; returns (fields, alive, ovf).
+
+    Arrivals are ranked by a cumsum over the valid mask (NOT their raw
+    buffer position — the right-neighbour block starts at mcap, so raw
+    positions can exceed the dead-slot count even when the total count
+    fits) and inserted dead-slot k <- k-th valid arrival."""
     n = alive.shape[0]
     order = jnp.argsort(alive.astype(jnp.int32))     # dead first (stable)
     n_dead = jnp.sum(~alive)
-    k = jnp.arange(valid_in.shape[0])
-    tgt = jnp.where(valid_in & (k < n_dead),
-                    order[jnp.minimum(k, n - 1)], n)
+    rank = jnp.cumsum(valid_in) - 1                  # rank among valid rows
+    tgt = jnp.where(valid_in & (rank < n_dead),
+                    order[jnp.minimum(rank, n - 1)], n)
     outs = []
     for f, rec in zip(fields, recv):
         fbuf = jnp.concatenate([f, jnp.zeros((1,) + f.shape[1:], f.dtype)])

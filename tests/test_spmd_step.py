@@ -116,6 +116,35 @@ def test_spmd_step_matches_single_device():
     np.testing.assert_allclose(acc_g, acc_r, atol=5e-4 * ascale, rtol=0)
 
 
+def test_insert_into_dead_ranks_valid_arrivals():
+    """ADVICE r2: arrivals must be inserted by their rank among VALID rows,
+    not their raw buffer position — a right-neighbour block starting at
+    position mcap would otherwise be silently dropped whenever mcap
+    exceeds the dead-slot count."""
+    from gadget_leicester_tpu.parallel.spmd import _insert_into_dead
+
+    n, mcap = 16, 8
+    alive = jnp.ones(n, bool).at[3].set(False).at[7].set(False)
+    # buffer layout [left-block | right-block]: left empty (c_l = 0),
+    # right carries 2 valid rows at raw positions mcap, mcap+1 >= n_dead=2
+    valid_in = jnp.zeros(2 * mcap, bool).at[mcap].set(True).at[
+        mcap + 1].set(True)
+    vals = jnp.zeros(2 * mcap).at[mcap].set(101.0).at[mcap + 1].set(102.0)
+    field = jnp.arange(n, dtype=jnp.float32)
+    (out,), alive_new, ovf = _insert_into_dead([field], alive,
+                                               [vals], valid_in)
+    assert not bool(ovf)
+    assert bool(jnp.all(alive_new))
+    inserted = sorted(float(out[i]) for i in (3, 7))
+    assert inserted == [101.0, 102.0]
+
+    # conservation under asymmetric counts: 3 valid arrivals, 2 dead slots
+    valid_over = valid_in.at[mcap + 2].set(True)
+    _, alive_o, ovf_o = _insert_into_dead([field], alive,
+                                          [vals], valid_over)
+    assert bool(ovf_o)
+
+
 @pytest.mark.slow
 def test_spmd_step_hlo_no_particle_allgather():
     """The compiled SPMD step must not all-gather particle-sized arrays:
