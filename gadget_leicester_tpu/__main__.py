@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--makeglass", type=int, default=0, metavar="NSIDE",
                     help="MAKEGLASS mode: generate an NSIDE^3 glass file "
                          "into OutputDir and exit [G2: -DMAKEGLASS]")
+    ap.add_argument("--devices", type=int, default=None, metavar="K",
+                    help="run domain-decomposed over K devices (the "
+                         "`mpirun -np K` analog); requires periodic TreePM")
     args = ap.parse_args(argv)
 
     from gadget_leicester_tpu.core.config import read_parameter_file
@@ -72,9 +75,11 @@ def main(argv=None):
         overrides["isotherm_eqs"] = args.isothermal
     sim = Simulation.from_param_file(args.paramfile, None,
                                      restart_flag=args.restartflag,
-                                     opt_overrides=overrides)
+                                     opt_overrides=overrides,
+                                     mesh=args.devices)
     opts = sim.opts
-    print(f"N={int(sim.state.p.alive.sum())} particles; "
+    ndev = f" on {args.devices} devices" if args.devices else ""
+    print(f"N={int(sim.state.p.alive.sum())} particles{ndev}; "
           f"t={sim.time:g} -> {cfg.time_max:g}; "
           f"gravity={opts.gravity_mode}, pmgrid={opts.pmgrid}")
     sim.run(max_steps=args.max_steps)

@@ -83,6 +83,10 @@ class SimOptions:
     use_pallas: str = "auto"             # "auto"|"on"|"off" — Pallas kernels
                                          # ("auto": on for TPU backends)
     output_potential: bool = False       # -DOUTPUTPOTENTIAL: POT snapshot block
+    spmd_ghost_frac: float = 0.0         # SPMD ghost-buffer size as a chunk
+                                         # fraction (0 = auto from the
+                                         # boundary-strip occupancy; the
+                                         # BufferSize analog [G2: allvars.h])
 
     def replace(self, **kw) -> "SimOptions":
         return dataclasses.replace(self, **kw)

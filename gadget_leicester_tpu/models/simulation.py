@@ -235,9 +235,18 @@ def _init_finalize_nogas(state: SimState, cfg: SimConfig,
 # Host-side driver
 # ---------------------------------------------------------------------------
 class Simulation:
-    """begrun()/run() equivalent: owns config, state, and the host loop."""
+    """begrun()/run() equivalent: owns config, state, and the host loop.
 
-    def __init__(self, cfg: SimConfig, opts: Optional[SimOptions] = None):
+    ``mesh`` (int device count or a jax Mesh) routes stepping through the
+    owner-computes SPMD step (parallel.spmd) — the rebuild of
+    `mpirun -np K Gadget2 param.txt` [G2: main.c]: the state lives in the
+    slab layout between steps; snapshots/energy/restarts convert through
+    the lossless spmd_to_canonical bridge; slab edges re-balance on the
+    statistics cadence (re-decomposition recompiles the step, matching
+    the reference's occasional domain_Decomposition())."""
+
+    def __init__(self, cfg: SimConfig, opts: Optional[SimOptions] = None,
+                 mesh=None):
         from gadget_leicester_tpu.core.config import options_from_config
         self.cfg = cfg
         self.opts = opts if opts is not None else options_from_config(cfg)
@@ -250,11 +259,21 @@ class Simulation:
         self.next_snapshot_time = cfg.time_of_first_snapshot
         self.next_stats_time = cfg.time_begin
         self.last_restart_wall = None
+        self.mesh = None
+        self.spmd_edges = None      # current slab boundaries [d+1]
+        self.spmd_caps = None       # (cap_g, cap_r) per shard
+        self._spmd_step = None      # jitted shard_map step
+        if mesh is not None:
+            from jax.sharding import Mesh as _Mesh
+            from gadget_leicester_tpu.parallel.mesh import make_mesh
+            self.mesh = mesh if isinstance(mesh, _Mesh) else \
+                make_mesh(int(mesh))
 
     @classmethod
     def from_param_file(cls, path: str, opts: Optional[SimOptions] = None,
                         restart_flag: int = 0,
-                        opt_overrides: Optional[dict] = None) -> "Simulation":
+                        opt_overrides: Optional[dict] = None,
+                        mesh=None) -> "Simulation":
         """`Gadget2 param.txt [restartflag]` equivalent [G2: main.c]:
         restart_flag 0 = cold start from InitCondFile, 1 = resume from the
         restart dump, 2 = start from a snapshot named by InitCondFile.
@@ -282,7 +301,7 @@ class Simulation:
             if opts is None:
                 n_alive = int(np.asarray(state.p.alive).sum())
                 opts = options_from_config(cfg, n_particles=n_alive, **side_kw)
-            sim = cls(cfg, opts)
+            sim = cls(cfg, opts, mesh=mesh)
             # restarts store no grid cache (derived data); re-allocate
             from gadget_leicester_tpu.models.grids import make_grid_cache
             sim.state = dataclasses.replace(
@@ -290,6 +309,9 @@ class Simulation:
                                              state.gas.n_gas_max))
             sim.step_count = meta.get("step_count", 0)
             sim.snapshot_count = meta.get("snapshot_count", 0)
+            if sim.mesh is not None:
+                # restart dumps are layout-canonical; re-decompose
+                sim._decompose()
         else:
             from gadget_leicester_tpu.io.snapshot import read_snapshot
             from gadget_leicester_tpu.io.state_io import ic_arrays_from_snapshot
@@ -298,7 +320,7 @@ class Simulation:
             if opts is None:
                 # Makefile analog: stock .param + IC count decide TreePM/pmgrid
                 opts = options_from_config(cfg, n_particles=len(pos), **side_kw)
-            sim = cls(cfg, opts)
+            sim = cls(cfg, opts, mesh=mesh)
             sim.set_ics(pos, vel, mass, ptype, pid=snap.ids.astype(np.int64),
                         u=u)
         return sim
@@ -306,14 +328,73 @@ class Simulation:
     def set_ics(self, pos, vel, mass, ptype, pid=None, u=None):
         self.state = init_state(self.cfg, self.opts, pos, vel, mass, ptype,
                                 pid=pid, u=u)
+        if self.mesh is not None:
+            self._decompose()
         return self.state
+
+    # ------------------------------------------------------------------
+    # SPMD domain decomposition [G2: domain.c :: domain_Decomposition()]
+    # ------------------------------------------------------------------
+    def _decompose(self):
+        """(Re-)lay the state onto the mesh with cost-balanced slab edges
+        and (re)build the jitted SPMD step. Accepts the current state in
+        EITHER layout (slab layouts canonicalise first)."""
+        from jax.sharding import NamedSharding
+        from gadget_leicester_tpu.parallel.spmd import (
+            make_spmd_step, spmd_min_width, spmd_to_canonical, state_specs,
+            to_spmd)
+        if self.spmd_caps is not None:
+            self.state = spmd_to_canonical(self.state, *self.spmd_caps)
+        mw = spmd_min_width(self.cfg, self.opts, self.state.gas.n_gas_max)
+        st, caps, edges = to_spmd(self.state, self.mesh, self.cfg,
+                                  min_width=mw)
+        specs = state_specs(st)
+        st = jax.tree_util.tree_map(
+            lambda x, sp: jax.device_put(x, NamedSharding(self.mesh, sp)),
+            st, specs)
+        self.state = st
+        self.spmd_caps = caps
+        self.spmd_edges = edges
+        self._spmd_step = make_spmd_step(self.cfg, self.opts, self.mesh,
+                                         edges=edges)(st)
+
+    def maybe_rebalance(self, threshold: float = 1.3):
+        """Re-decompose when the per-slab particle counts have drifted
+        from balance (the TreeDomainUpdateFrequency analog; recompiles).
+        Returns True when a re-decomposition happened."""
+        if self.mesh is None:
+            return False
+        import numpy as np
+        from gadget_leicester_tpu.parallel.mesh import AXIS
+        d = self.mesh.shape[AXIS]
+        alive = np.asarray(self.state.p.alive)
+        x = np.mod(np.asarray(self.state.p.pos[:, 0])[alive],
+                   self.cfg.box_size)
+        counts = np.bincount(
+            np.clip(np.searchsorted(self.spmd_edges, x, side="right") - 1,
+                    0, d - 1), minlength=d)
+        if counts.max() > threshold * max(1.0, counts.mean()):
+            self._decompose()
+            return True
+        return False
+
+    def canonical_state(self) -> SimState:
+        """The state in canonical (gas-block-first) layout — what every
+        I/O / diagnostics consumer expects; identity off-mesh."""
+        if self.mesh is None or self.spmd_caps is None:
+            return self.state
+        from gadget_leicester_tpu.parallel.spmd import spmd_to_canonical
+        return spmd_to_canonical(self.state, *self.spmd_caps)
 
     @property
     def time(self) -> float:
         return float(timeline.ti_to_time(self.state.ti_current, self.cfg))
 
     def step(self, n: int = 1):
-        if n == 1:
+        if self._spmd_step is not None:
+            for _ in range(n):
+                self.state = self._spmd_step(self.state)
+        elif n == 1:
             self.state = sync_point_step(self.state, self.cfg, self.opts)
         else:
             self.state = run_steps(self.state, self.cfg, self.opts, n)
@@ -374,7 +455,7 @@ class Simulation:
                 save_restart(
                     os.path.join(cfg.output_dir,
                                  cfg.restart_file or "restart"),
-                    self.state, step_count=self.step_count,
+                    self.canonical_state(), step_count=self.step_count,
                     extra_meta={"snapshot_count": self.snapshot_count})
                 if cfg.resubmit_on and cfg.resubmit_command:
                     import subprocess
@@ -430,11 +511,19 @@ class Simulation:
                         cur = new_opts.sr_capacity or 128
                         new_opts = dataclasses.replace(
                             new_opts, sr_capacity=cur + 128)
+                    if self.mesh is not None and ovf & (1 | 2 | 4):
+                        # SPMD ghost/migration buffers may be the culprit
+                        # (their overflow ORs into the same bits): double
+                        # the BufferSize analog as well
+                        cur = new_opts.spmd_ghost_frac or 0.25
+                        new_opts = dataclasses.replace(
+                            new_opts, spmd_ghost_frac=min(1.0, cur * 2))
                     self.logs.log_info(
                         self.step_count, t_now,
                         0.0, note=f"overflow {ovf}: capacities -> "
                         f"sph={new_opts.sph_capacity} "
-                        f"sr={new_opts.sr_capacity}")
+                        f"sr={new_opts.sr_capacity} "
+                        f"ghost={new_opts.spmd_ghost_frac}")
                     self.opts = new_opts
                     opts = new_opts
                     # new capacities change the cached grid shapes
@@ -444,10 +533,15 @@ class Simulation:
                         self.state,
                         grids=make_grid_cache(cfg, opts, self.state.p.n_max,
                                               self.state.gas.n_gas_max))
+                    if self.mesh is not None:
+                        self._decompose()   # rebuild the SPMD step too
                 # full potential on demand [G2: potential.c] — the in-step
-                # pot of the TreePM path carries only the PM piece
-                self.state = potential_pass(self.state, cfg, opts)
-                st = energy_statistics(self.state, cfg, opts)
+                # pot of the TreePM path carries only the PM piece.
+                # SPMD runs canonicalise first (the lossless bridge).
+                cst = potential_pass(self.canonical_state(), cfg, opts)
+                if self.mesh is None:
+                    self.state = cst
+                st = energy_statistics(cst, cfg, opts)
                 self.logs.log_energy(t_now, st)
                 if cfg.comoving_integration_on:
                     from gadget_leicester_tpu.utils.diagnostics import \
@@ -459,8 +553,11 @@ class Simulation:
                 if opts.forcetest > 0:
                     from gadget_leicester_tpu.utils.forcetest import (
                         run_forcetest, write_forcetest_file)
-                    res = run_forcetest(self.state, cfg, opts)
-                    write_forcetest_file(res, self.state, cfg)
+                    res = run_forcetest(cst, cfg, opts)
+                    write_forcetest_file(res, cst, cfg)
+                # work-balance maintenance on the same cadence
+                # [G2: domain.c re-decomposition triggers]
+                self.maybe_rebalance()
             if output_times is not None:
                 due = (self.snapshot_count < len(output_times)
                        and t_now >= output_times[self.snapshot_count])
@@ -468,10 +565,13 @@ class Simulation:
                 due = (t_now >= self.next_snapshot_time
                        and cfg.time_bet_snapshot > 0)
             if due:
+                cst = self.canonical_state()
                 if opts.output_potential:
-                    self.state = potential_pass(self.state, cfg, opts)
+                    cst = potential_pass(cst, cfg, opts)
+                    if self.mesh is None:
+                        self.state = cst
                 snap = snapshot_from_state(
-                    self.state, cfg, opts,
+                    cst, cfg, opts,
                     with_potential=opts.output_potential)
                 base = os.path.join(
                     cfg.output_dir,
@@ -491,7 +591,7 @@ class Simulation:
                 save_restart(
                     os.path.join(cfg.output_dir,
                                  cfg.restart_file or "restart"),
-                    self.state, step_count=self.step_count,
+                    self.canonical_state(), step_count=self.step_count,
                     extra_meta={"snapshot_count": self.snapshot_count})
                 self.last_restart_wall = _time.time()
         return self.state

@@ -581,17 +581,13 @@ def shortrange_gravity_pallas_dma9(
     if cl is None:
         cl = build_cell_list(pos, alive, 0.0, box, n_cells=n_cells,
                              capacity=capacity, periodic=periodic)
-    if active is None:
-        flags = None
-        needed = None
-    else:
-        flags = cell_activity_flags(cl, active)
-        needed = dilate_flags(flags, n_cells, periodic)
-    soa = pack_cells_soa(cl, pos, mass, soft, alive, needed=needed)
+    soa = pack_cells_soa(cl, pos, mass, soft, alive)
     c, _, cap = soa.shape
     soa_z = _zpad_columns(soa, n_cells, cap, periodic)
-    if flags is None:
+    if active is None:
         flags = jnp.ones((c,), jnp.int32)
+    else:
+        flags = cell_activity_flags(cl, active)
 
     out = pl.pallas_call(
         _make_kernel_dma9(float(box), asmth, rcut, periodic, n_cells, cap),
@@ -613,10 +609,6 @@ def shortrange_gravity_pallas_dma9(
 
     idx = jnp.maximum(cl.cells, 0)
     valid = cl.cells >= 0
-    if active is not None:
-        # only active tiles produced output; inactive particles keep their
-        # frozen acc in the caller — skip their scatter rows entirely
-        valid = valid & (flags[:, None] > 0)
     n_p = pos.shape[0]
     flat_idx = jnp.where(valid, idx, n_p).reshape(-1)
     acc = jnp.zeros((n_p + 1, 3), pos.dtype)

@@ -572,21 +572,16 @@ def density_adaptive_blocks(
     if active is not None:
         from gadget_leicester_tpu.ops.pallas_cells import cell_activity_flags
         flags = cell_activity_flags(cl_e, active & gas_mask)
-        needed_e = flags.astype(bool)
-        needed_o = _needed_odd(flags, cl_e.n_cells, periodic)
     else:
-        flags = needed_e = needed_o = None
+        flags = None
 
     ones = jnp.ones(ng, pos.dtype)
-    soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask,
-                         needed=needed_e)
-    soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask,
-                         needed=needed_o)
+    soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask)
+    soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask)
     idx = jnp.maximum(cl_e.cells, 0)
     valid = (cl_e.cells >= 0) & gas_mask[idx]
     if active is not None:
-        valid = valid & active[idx] & needed_e[:, None]
-        idx = jnp.where(needed_e[:, None], idx, 0)
+        valid = valid & active[idx]
     mass_slots = soa_e[:, 3, :].reshape(-1)
     mask_slots = valid.reshape(-1)
     h0_slots = jnp.where(valid, hsml0[idx], 1.0).reshape(-1)
@@ -654,36 +649,27 @@ def hydro_force_blocks(
     if active is not None:
         from gadget_leicester_tpu.ops.pallas_cells import cell_activity_flags
         flags = cell_activity_flags(cl_e, active & gas_mask)
-        needed_e = flags.astype(bool)
-        needed_o = _needed_odd(flags, cl_e.n_cells, cl_e.periodic)
     else:
-        flags = needed_e = needed_o = None
+        flags = None
 
-    soa_a = pack_sph_soa(cl_e, pos, vel, mass, hsml, gas_mask,
-                         needed=needed_e)
+    soa_a = pack_sph_soa(cl_e, pos, vel, mass, hsml, gas_mask)
 
-    def soa_b_of(cl, needed):
+    def soa_b_of(cl):
         idx = jnp.maximum(cl.cells, 0)
-        valid = (cl.cells >= 0) & gas_mask[idx]
-        if needed is not None:
-            valid = valid & needed[:, None]
-            idx = jnp.where(needed[:, None], idx, 0)
-        valid = valid.astype(pos.dtype)
+        valid = ((cl.cells >= 0) & gas_mask[idx]).astype(pos.dtype)
         zero = jnp.zeros_like(valid)
         return jnp.stack([rho[idx], p_over_rho2[idx], c_snd[idx],
                           balsara[idx], valid, zero, zero, zero], axis=1)
 
-    soa_b = soa_b_of(cl_e, needed_e)
-    src_a = pack_sph_soa(cl_o, pos, vel, mass, hsml, gas_mask,
-                         needed=needed_o)
-    src16 = jnp.concatenate([src_a, soa_b_of(cl_o, needed_o)], axis=1)
+    soa_b = soa_b_of(cl_e)
+    src_a = pack_sph_soa(cl_o, pos, vel, mass, hsml, gas_mask)
+    src16 = jnp.concatenate([src_a, soa_b_of(cl_o)], axis=1)
 
     out = hydro_sums_blocks(cl_e, soa_a, soa_b, src16, box, visc_const,
                             hubble_a2_flow, fac_mu, interpret=interpret,
                             flags=flags)
     ax, ay, az, dt_raw, msv = scatter_cell_rows(cl_e, out, ng,
-                                                rows=(0, 1, 2, 3, 4),
-                                                needed=needed_e)
+                                                rows=(0, 1, 2, 3, 4))
     acc = jnp.stack([ax, ay, az], axis=-1)
     dt_ent = dt_raw * GAMMA_MINUS1 / (
         jnp.asarray(hubble_a2_norm, rho.dtype) * rho_safe**GAMMA_MINUS1)

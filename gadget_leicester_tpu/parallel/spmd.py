@@ -161,9 +161,9 @@ def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
 
 def from_spmd(state: SimState, cap_g: int, cap_r: int):
     """Extract the alive particles of a slab-layout state as host arrays
-    (pos, vel, mass, ptype, source_rows) — for snapshots/analysis. Lossy
-    for mid-run dynamics (acc/ti fields not returned); restart dumps save
-    the slab layout verbatim instead."""
+    (pos, vel, mass, ptype, source_rows) — for quick analysis. For the
+    FULL state (snapshots/energy/restart/re-decomposition) use
+    :func:`spmd_to_canonical`, which is lossless."""
     alive = np.asarray(state.p.alive)
     rows = np.where(alive)[0]
     pos = np.asarray(state.p.pos)[rows]
@@ -171,6 +171,30 @@ def from_spmd(state: SimState, cap_g: int, cap_r: int):
     mass = np.asarray(state.p.mass)[rows]
     ptype = np.asarray(state.p.ptype)[rows]
     return pos, vel, mass, ptype, rows
+
+
+def spmd_to_canonical(state: SimState, cap_g: int, cap_r: int) -> SimState:
+    """LOSSLESS slab-layout -> canonical-layout conversion.
+
+    The slab layout interleaves per-shard chunks [cap_g gas | cap_r other];
+    the canonical layout wants ALL gas slots first. Permuting particle rows
+    so every shard's gas block comes first restores the canonical invariant
+    (gas state arrays are already in exactly that order, so they pass
+    through unchanged); every dynamical field (acc, ti_*, entropy, ...)
+    survives — this is the bridge the snapshot writer, energy instrument,
+    restart dump, and re-decomposition all share [G2: the reference never
+    needs this because its I/O walks per-rank arrays directly]."""
+    stride = cap_g + cap_r
+    d = state.p.n_max // stride
+    gas_rows = (np.arange(d)[:, None] * stride
+                + np.arange(cap_g)[None, :]).reshape(-1)
+    rest_rows = (np.arange(d)[:, None] * stride + cap_g
+                 + np.arange(cap_r)[None, :]).reshape(-1)
+    order = jnp.asarray(np.concatenate([gas_rows, rest_rows]))
+    newp = ParticleState(
+        **{f: getattr(state.p, f)[order] for f in _P_FIELDS},
+        alive=state.p.alive[order])
+    return dataclasses.replace(state, p=newp, grids=None)
 
 
 def state_specs(state: SimState):
@@ -238,6 +262,16 @@ def _ghost_exchange(fields, pos_x, alive, x0, x1, margin, gcap, n_shards):
 def _wrap_to_slab(x, xc, box):
     """Ghost/local x mapped to the frame of the slab centred at xc."""
     return xc + (x - xc) - box * jnp.round((x - xc) / box)
+
+
+def _ghost_cap(n_local: int, reach: float, w_min: float,
+               frac_override: float = 0.0) -> int:
+    """Static per-direction ghost-buffer capacity: boundary-strip
+    occupancy (reach/w_min of the chunk) with 2x clustering safety,
+    never more than the whole chunk."""
+    frac = frac_override if frac_override > 0.0 else min(
+        1.0, 2.0 * reach / max(w_min, 1e-30))
+    return min(n_local, max(8, -(-int(frac * n_local) // 8) * 8))
 
 
 def _insert_into_dead(fields, alive, recv, valid_in):
@@ -369,9 +403,12 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                        p.pot / jnp.maximum(cfg.grav_internal, 1e-37)),
             operand=None)
 
-        # ghost strips can approach the whole slab when rcut ~ slab_w;
-        # full-buffer capacity makes the exchange overflow-free
-        gcap = p.n_max
+        # O(surface) ghost buffers [G2: gravtree.c exports only flagged
+        # boundary particles, bounded by BufferSize]: the strip within
+        # rcut of a face holds ~ n_local * rcut/slab_width particles;
+        # 2x safety for clustering + the chunk-fill headroom. Overflow
+        # raises flag bit 1 and the host re-runs with a bigger fraction.
+        gcap = _ghost_cap(p.n_max, rcut, w_min, opts.spmd_ghost_frac)
         ghosts, gvalid, ovf = _ghost_exchange(
             [p.pos, p.mass, soft], jnp.mod(p.pos[:, 0], box), p.alive,
             x0, x1, rcut, gcap, d)
@@ -444,7 +481,8 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
 
         lx = _wrap_to_slab(jnp.mod(p.pos[:ng, 0], box), xc, box)
         lpos = p.pos[:ng].at[:, 0].set(lx)
-        gcap = ng
+        # O(surface) ghosts (see _gravity): strip within one SPH cell edge
+        gcap = _ghost_cap(ng, cell_sph, w_min, opts.spmd_ghost_frac)
         h0 = jnp.minimum(gas.hsml, max_hsml)
 
         # ---- round 1: kinematic ghosts for the density solve -----------

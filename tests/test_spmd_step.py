@@ -116,6 +116,72 @@ def test_spmd_step_matches_single_device():
     np.testing.assert_allclose(acc_g, acc_r, atol=5e-4 * ascale, rtol=0)
 
 
+@pytest.mark.slow
+def test_spmd_simulation_lifecycle(tmp_path):
+    """VERDICT r2 item 3: the SPMD step must be reachable from the
+    production Simulation lifecycle — snapshots/energy.txt produced from
+    the slab layout, trajectories matching the single-device run."""
+    import os
+    n_side = 16
+    cfg1 = parse_parameter_text(PARAM + f"""
+TimeBetStatistics 0.004
+TimeBetSnapshot 1.25
+TimeOfFirstSnapshot 0.0915
+""").replace(output_dir=str(tmp_path / "single"))
+    cfg2 = cfg1.replace(output_dir=str(tmp_path / "spmd"))
+    opts = SimOptions(periodic=True, pmgrid=24, gravity_mode="treepm",
+                      sph_backend="cells", use_pallas="off")
+    ics = lcdm_gas_ics(n_side=n_side, box=BOX, omega0=0.3, omega_b=0.04,
+                       hubble=cfg1.hubble_internal, g=cfg1.grav_internal)
+    pos, vel, mass, ptype, u = ics
+    os.makedirs(cfg1.output_dir, exist_ok=True)
+    os.makedirs(cfg2.output_dir, exist_ok=True)
+
+    sim1 = Simulation(cfg1, opts)
+    sim1.set_ics(pos, vel, mass, ptype, u=u)
+    sim2 = Simulation(cfg2, opts, mesh=make_mesh(4))
+    sim2.set_ics(pos, vel, mass, ptype, u=u)
+    assert sim2._spmd_step is not None
+
+    n_steps = 3
+    sim1.run(max_steps=n_steps)
+    sim2.run(max_steps=n_steps)
+
+    # both lifecycles produced diagnostics + snapshots
+    for d in (cfg1.output_dir, cfg2.output_dir):
+        assert os.path.exists(os.path.join(d, "energy.txt"))
+        assert os.path.exists(os.path.join(d, "snapshot_000"))
+
+    # slab-layout state canonicalises losslessly and matches single-device
+    c1, c2 = sim1.state, sim2.canonical_state()
+    assert int(c2.ti_current) == int(c1.ti_current)
+
+    def by_pid(state):
+        alive = np.asarray(state.p.alive)
+        pid = np.asarray(state.p.pid)[alive]
+        order = np.argsort(pid)
+        return (pid[order], np.asarray(state.p.pos)[alive][order],
+                np.asarray(state.p.vel)[alive][order])
+
+    pid1, pos1, vel1 = by_pid(c1)
+    pid2, pos2, vel2 = by_pid(c2)
+    np.testing.assert_array_equal(pid1, pid2)
+    dpos = pos1 - pos2
+    dpos -= BOX * np.round(dpos / BOX)
+    assert np.max(np.abs(dpos)) / (BOX / n_side) < 5e-4
+    vs = max(np.max(np.abs(vel1)), 1e-30)
+    np.testing.assert_allclose(vel2, vel1, atol=5e-4 * vs, rtol=0)
+
+    # snapshot files agree between the two runs
+    from gadget_leicester_tpu.io.snapshot import read_snapshot
+    s1 = read_snapshot(os.path.join(cfg1.output_dir, "snapshot_000"))
+    s2 = read_snapshot(os.path.join(cfg2.output_dir, "snapshot_000"))
+    o1, o2 = np.argsort(s1.ids), np.argsort(s2.ids)
+    d = s1.pos[o1] - s2.pos[o2]
+    d -= BOX * np.round(d / BOX)
+    assert np.max(np.abs(d)) / (BOX / n_side) < 5e-4
+
+
 def test_insert_into_dead_ranks_valid_arrivals():
     """ADVICE r2: arrivals must be inserted by their rank among VALID rows,
     not their raw buffer position — a right-neighbour block starting at
