@@ -45,6 +45,42 @@ def potential_pass(state: SimState, cfg: SimConfig,
     return compute_potential(state, cfg, opts)
 
 
+# --- per-component CPU probes [G2: run.c CPU_* buckets] -------------------
+# The production step is ONE fused XLA program, so per-phase wall times are
+# sampled by running each phase standalone on the current state (results
+# discarded) at the statistics cadence — see Simulation._sample_cpu.
+@partial(jax.jit, static_argnames=("cfg", "opts"))
+def _probe_drift(state, cfg, opts):
+    ti_next = timeline.min_active_ti_end(state.p.ti_endstep, state.p.alive)
+    return integrate.drift_all(state, cfg, opts,
+                               jnp.minimum(ti_next, state.pm_ti_endstep))
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts"))
+def _probe_gravity(state, cfg, opts):
+    do_pm = jnp.asarray(False) if _uses_pm_split(opts) else None
+    return compute_forces(state, cfg, opts, do_sph=False, do_pm=do_pm)
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts"))
+def _probe_hydro(state, cfg, opts):
+    from gadget_leicester_tpu.models.forces import (comoving_factors,
+                                                    compute_sph)
+    fac = comoving_factors(cfg, state.ti_current)
+    active = (state.p.ti_endstep == state.ti_current) & state.p.alive
+    return compute_sph(state, cfg, opts, fac,
+                       active[:state.gas.n_gas_max])
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts"))
+def _probe_kick(state, cfg, opts):
+    state = integrate.advance_and_find_timesteps(state, cfg, opts)
+    if _uses_pm_split(opts):
+        state = integrate.pm_step_update(state, cfg, opts,
+                                         jnp.asarray(False))
+    return state
+
+
 @partial(jax.jit, static_argnames=("cfg", "opts"))
 def sync_point_step(state: SimState, cfg: SimConfig, opts: SimOptions) -> SimState:
     """One sync-point iteration of the main loop [G2: run.c].
@@ -378,6 +414,27 @@ class Simulation:
             return True
         return False
 
+    def _sample_cpu(self) -> dict:
+        """Sampled per-component device timings for cpu.txt
+        [G2: run.c CPU_Gravity/CPU_Hydro/... buckets]. Runs each phase as
+        a standalone program on the current state (results discarded);
+        enabled with GLT_CPU_DETAIL=1 (the probes pay a one-time compile).
+        Off-mesh only — the SPMD step has no standalone phase programs."""
+        import time as _time
+        if self.mesh is not None or os.environ.get("GLT_CPU_DETAIL") != "1":
+            return {}
+        out = {}
+        probes = [("drift", _probe_drift), ("gravity", _probe_gravity),
+                  ("kick", _probe_kick)]
+        if self.state.gas.n_gas_max > 1:
+            probes.insert(2, ("hydro", _probe_hydro))
+        for name, fn in probes:
+            t0 = _time.time()
+            r = fn(self.state, self.cfg, self.opts)
+            float(r.p.pos[0, 0])   # scalar fence (axon)
+            out[name] = _time.time() - t0
+        return out
+
     def canonical_state(self) -> SimState:
         """The state in canonical (gas-block-first) layout — what every
         I/O / diagnostics consumer expects; identity off-mesh."""
@@ -474,16 +531,18 @@ class Simulation:
                     jax.profiler.start_trace(pdir)
                 elif self.step_count == pstart + pn:
                     jax.profiler.stop_trace()
+            pm_beg_before = int(self.state.pm_ti_begstep)
             self.step()
             dt_wall = _time.time() - t0
+            phases = {"total": dt_wall}
+            was_pm = int(self.state.pm_ti_begstep) != pm_beg_before
             t_now = self.time
             self.logs.log_info(self.step_count, t_now, t_now - t_before)
-            self.logs.log_cpu(self.step_count, t_now,
-                              {"total": dt_wall})
             n_active = int(jnp.sum(timeline.active_mask(
                 self.state.p.ti_begstep, self.state.ti_current,
                 self.state.p.alive)))
-            self.logs.log_timings(self.step_count, n_active, dt_wall)
+            self.logs.log_timings(self.step_count, n_active, dt_wall,
+                                  pm=was_pm)
 
             if t_now >= self.next_stats_time:
                 # recompute-with-bigger [G2: gravtree.c realloc-on-overflow
@@ -538,10 +597,13 @@ class Simulation:
                 # full potential on demand [G2: potential.c] — the in-step
                 # pot of the TreePM path carries only the PM piece.
                 # SPMD runs canonicalise first (the lossless bridge).
+                tp0 = _time.time()
                 cst = potential_pass(self.canonical_state(), cfg, opts)
                 if self.mesh is None:
                     self.state = cst
                 st = energy_statistics(cst, cfg, opts)
+                phases["potential"] = _time.time() - tp0
+                phases.update(self._sample_cpu())
                 self.logs.log_energy(t_now, st)
                 if cfg.comoving_integration_on:
                     from gadget_leicester_tpu.utils.diagnostics import \
@@ -557,7 +619,9 @@ class Simulation:
                     write_forcetest_file(res, cst, cfg)
                 # work-balance maintenance on the same cadence
                 # [G2: domain.c re-decomposition triggers]
-                self.maybe_rebalance()
+                td0 = _time.time()
+                if self.maybe_rebalance():
+                    phases["domain"] = _time.time() - td0
             if output_times is not None:
                 due = (self.snapshot_count < len(output_times)
                        and t_now >= output_times[self.snapshot_count])
@@ -565,6 +629,7 @@ class Simulation:
                 due = (t_now >= self.next_snapshot_time
                        and cfg.time_bet_snapshot > 0)
             if due:
+                ts0 = _time.time()
                 cst = self.canonical_state()
                 if opts.output_potential:
                     cst = potential_pass(cst, cfg, opts)
@@ -579,6 +644,7 @@ class Simulation:
                 write_snapshot_set(base, snap, cfg.num_files_per_snapshot,
                                    fmt=cfg.snap_format)
                 self.snapshot_count += 1
+                phases["snapshot"] = _time.time() - ts0
                 if output_times is None:
                     if cfg.comoving_integration_on:
                         self.next_snapshot_time = max(
@@ -588,10 +654,13 @@ class Simulation:
                         self.next_snapshot_time += cfg.time_bet_snapshot
             if (_time.time() - self.last_restart_wall
                     > cfg.cpu_time_bet_restart_file):
+                tr0 = _time.time()
                 save_restart(
                     os.path.join(cfg.output_dir,
                                  cfg.restart_file or "restart"),
                     self.canonical_state(), step_count=self.step_count,
                     extra_meta={"snapshot_count": self.snapshot_count})
                 self.last_restart_wall = _time.time()
+                phases["restart"] = _time.time() - tr0
+            self.logs.log_cpu(self.step_count, t_now, phases)
         return self.state

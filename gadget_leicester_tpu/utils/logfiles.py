@@ -61,20 +61,33 @@ class RunLogs:
             fh.write(f"  {note}\n")
         fh.flush()
 
-    # -- cpu.txt --------------------------------------------------------
+    # -- cpu.txt [G2: run.c CPU_* buckets] -------------------------------
+    CPU_COLUMNS = ("total", "gravity", "hydro", "drift", "kick",
+                   "potential", "domain", "snapshot", "restart", "misc")
+
     def log_cpu(self, step: int, t: float, buckets: dict):
+        """Per-step wall-clock breakdown with the reference's column set.
+        'total' is measured every step; gravity/hydro/drift/kick are the
+        probe samples of the statistics cadence (0.0 between samples —
+        enable GLT_CPU_DETAIL=1); potential/domain/snapshot/restart are
+        the real host-phase times of this step."""
         fh = self._file(self.cfg.cpu_file or "cpu.txt")
+        known = {k: buckets.get(k, 0.0) for k in self.CPU_COLUMNS}
+        known["misc"] = sum(v for k, v in buckets.items()
+                            if k not in self.CPU_COLUMNS)
         fh.write(f"Step {step}, Time: {t:g}, CPUs: 1\n")
-        fh.write(" ".join(f"{v:.3f}" for v in buckets.values()) + "   # "
-                 + " ".join(buckets.keys()) + "\n")
+        fh.write(" ".join(f"{known[k]:.3f}" for k in self.CPU_COLUMNS)
+                 + "   # " + " ".join(self.CPU_COLUMNS) + "\n")
         fh.flush()
 
     # -- timings.txt [G2: gravtree.c FdTimings] -------------------------
-    def log_timings(self, step: int, n_active: int, elapsed: float):
+    def log_timings(self, step: int, n_active: int, elapsed: float,
+                    pm: bool = False):
         fh = self._file(self.cfg.timings_file or "timings.txt")
         pps = n_active / elapsed if elapsed > 0 else 0.0
+        tag = "  PM-step" if pm else ""
         fh.write(f"Step= {step}  t= {elapsed:.4f}s  active= {n_active}  "
-                 f"part/sec= {pps:.1f}\n")
+                 f"part/sec= {pps:.1f}{tag}\n")
         fh.flush()
 
 
