@@ -59,7 +59,12 @@ class ParticleState:
     acc: jnp.ndarray        # [N,3] short-range/tree gravitational acceleration
     acc_pm: jnp.ndarray     # [N,3] long-range PM acceleration (FROZEN between
                             # PM steps [G2: timestep.c PM kick machinery])
-    pot: jnp.ndarray        # [N] potential
+    pot: jnp.ndarray        # [N] potential (TreePM in-step: full PM+SR
+                            # potential when sinks/Stamatellos consume it,
+                            # PM-only otherwise; diagnostics use the
+                            # on-demand compute_potential either way)
+    pot_pm: jnp.ndarray     # [N] long-range PM potential piece (FROZEN
+                            # between PM steps, like acc_pm)
     old_acc: jnp.ndarray    # [N] |acc| of previous step (relative opening crit)
     ti_begstep: jnp.ndarray # [N] int64 tick at which current step began
     ti_endstep: jnp.ndarray # [N] int64 tick at which current step ends
@@ -162,7 +167,7 @@ def allocate(
         pos=z3, vel=z3, mass=z1,
         ptype=jnp.zeros((nm,), jnp.int32),
         pid=jnp.zeros((nm,), jnp.int32),
-        acc=z3, acc_pm=z3, pot=z1, old_acc=z1,
+        acc=z3, acc_pm=z3, pot=z1, pot_pm=z1, old_acc=z1,
         ti_begstep=jnp.zeros((nm,), jnp.int32),
         ti_endstep=jnp.zeros((nm,), jnp.int32),
         alive=jnp.zeros((nm,), bool),

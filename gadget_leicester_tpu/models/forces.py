@@ -122,8 +122,9 @@ def compute_forces(
             soft = soft.at[:ng_].set(
                 jnp.where(p.ptype[:ng_] == 0, gas_soft, soft[:ng_]))
         acc_pm = state.p.acc_pm
+        pot_pm = jnp.zeros_like(p.pot)
         if mode == "treepm":
-            acc, pot, sr_ovf, acc_pm, new_grids = _treepm_gravity(
+            acc, pot, pot_pm, sr_ovf, acc_pm, new_grids = _treepm_gravity(
                 state, cfg, opts, soft, do_pm, active)
             state = dataclasses.replace(
                 state, grids=new_grids,
@@ -146,6 +147,12 @@ def compute_forces(
             acc_pm = jnp.zeros_like(acc)
         acc = acc * cfg.grav_internal
         pot = pot * cfg.grav_internal
+        pot_pm = pot_pm * cfg.grav_internal
+        if mode == "treepm" and (opts.sinks or opts.cooling == "stamatellos"):
+            # the SR potential row is tile-gated like the force: inactive
+            # particles keep their last full potential [G2: P.Potential is
+            # refreshed when the particle is active]
+            pot = jnp.where(active, pot, p.pot)
         if cfg.comoving_integration_on and not opts.periodic:
             # vacuum-boundary comoving runs need the homogeneous-background
             # correction term [G2: gravtree.c comoving correction]:
@@ -162,11 +169,12 @@ def compute_forces(
         acc = jnp.zeros_like(p.acc)
         acc_pm = jnp.zeros_like(p.acc)
         pot = jnp.zeros_like(p.pot)
+        pot_pm = jnp.zeros_like(p.pot)
 
     total = acc + acc_pm
     old_acc = jnp.sqrt(jnp.sum(total * total, axis=-1))
     p = dataclasses.replace(p, acc=acc, acc_pm=acc_pm, pot=pot,
-                            old_acc=old_acc)
+                            pot_pm=pot_pm, old_acc=old_acc)
     state = dataclasses.replace(state, p=p)
 
     # ----- SPH ----------------------------------------------------------
@@ -222,24 +230,40 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
     else:
         cl = build()
 
-    if use_pallas:
-        from gadget_leicester_tpu.ops.pallas_cells import \
-            shortrange_gravity_pallas_dma9
-        acc_sr, overflow = shortrange_gravity_pallas_dma9(
-            p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
-            capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
-            periodic=True, active=active, cl=cl)
-    else:
-        acc_sr = shortrange_gravity_cells(cl, p.pos, p.mass, soft, p.alive,
-                                          asmth_len, rcut, box=box,
-                                          periodic=True)
-        overflow = cl.overflow
-
     # the in-step potential is needed only by sink creation and the
     # Stamatellos cooling column estimate; otherwise diagnostics get the
     # FULL potential on demand from compute_potential() [G2: potential.c]
-    # and the PM pass skips the 4th gather component.
+    # and the PM pass skips the 4th gather component. When needed, the
+    # SHORT-RANGE part is recomputed fresh EVERY sync point (the kernels
+    # carry a potential row); only the smooth PM piece stays frozen
+    # between PM steps — so periodic sink/cooling runs see the true
+    # potential minimum, not a stale smoothed one (VERDICT r2 item 7).
     with_pot = opts.sinks or opts.cooling == "stamatellos"
+
+    pot_sr = None
+    if use_pallas:
+        from gadget_leicester_tpu.ops.pallas_cells import \
+            shortrange_gravity_pallas_dma9
+        if with_pot:
+            acc_sr, pot_sr, overflow = shortrange_gravity_pallas_dma9(
+                p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
+                capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
+                periodic=True, active=active, cl=cl, with_potential=True)
+        else:
+            acc_sr, overflow = shortrange_gravity_pallas_dma9(
+                p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
+                capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
+                periodic=True, active=active, cl=cl)
+    else:
+        if with_pot:
+            acc_sr, pot_sr = shortrange_gravity_cells(
+                cl, p.pos, p.mass, soft, p.alive, asmth_len, rcut, box=box,
+                periodic=True, with_potential=True)
+        else:
+            acc_sr = shortrange_gravity_cells(
+                cl, p.pos, p.mass, soft, p.alive, asmth_len, rcut, box=box,
+                periodic=True)
+        overflow = cl.overflow
 
     def compute_pm(_):
         if with_pot:
@@ -251,14 +275,20 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
         return a * cfg.grav_internal, pt
 
     if do_pm is None:
-        acc_pm, pot = compute_pm(None)
+        acc_pm, pot_pm = compute_pm(None)
     else:
-        acc_pm, pot = jax.lax.cond(
+        acc_pm, pot_pm = jax.lax.cond(
             do_pm, compute_pm,
             lambda _: (state.p.acc_pm,
-                       state.p.pot / jnp.maximum(cfg.grav_internal, 1e-37)),
+                       state.p.pot_pm
+                       / jnp.maximum(cfg.grav_internal, 1e-37)),
             operand=None)
-    return acc_sr, pot, overflow, acc_pm, grids
+    if with_pot:
+        # PM self-energy removal as in compute_potential
+        pot = pot_pm + pot_sr + p.mass / (jnp.sqrt(jnp.pi) * asmth_len)
+    else:
+        pot = pot_pm
+    return acc_sr, pot, pot_pm, overflow, acc_pm, grids
 
 
 def compute_potential(state: SimState, cfg: SimConfig,

@@ -444,7 +444,8 @@ def shortrange_gravity_pallas_dma(
     return acc_p, cl.overflow
 
 
-def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap):
+def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap,
+                      with_potential=False):
     """Gravity cell-pair kernel, z-column variant: the 27-cell stencil
     collapses to NINE (dx,dy) columns, each ONE contiguous [8, 3*cap]
     DMA from a z-padded source layout and one [cap, 3*cap] evaluation.
@@ -483,7 +484,7 @@ def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap):
         dma(0, 0).start()
 
         def body(j, acc):
-            ax, ay, az = acc
+            ax, ay, az, pw = acc
             slot = jax.lax.rem(j, 2)
             nxt = jax.lax.rem(j + 1, 2)
 
@@ -517,13 +518,19 @@ def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap):
                 r = r2 * rinv
                 hh = jnp.maximum(t[4, :][:, None], s[4, :][None, :])
                 hhinv = jnp.minimum(t[6, :][:, None], s[6, :][None, :])
-                return _grav_fac_nodiv(r, rinv, hh, hhinv)
+                fac_ = _grav_fac_nodiv(r, rinv, hh, hhinv)
+                if with_potential:
+                    return fac_, _grav_pot_nodiv(r, rinv, hh, hhinv)
+                return fac_, fac_
 
             def fac_plain(_):
-                return rinv * rinv * rinv
+                rinv3 = rinv * rinv * rinv
+                if with_potential:
+                    return rinv3, -rinv
+                return rinv3, rinv3
 
-            fac = jax.lax.cond(r2min < hmax * hmax, fac_softened,
-                               fac_plain, operand=None)
+            fac, pfac = jax.lax.cond(r2min < hmax * hmax, fac_softened,
+                                     fac_plain, operand=None)
             if asmth > 0.0:
                 fac = fac * _shortrange_trunc_pallas(r2 * rinv, asmth)
             # no explicit validity term: invalid/padded slots carry m=0
@@ -536,15 +543,23 @@ def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap):
                        & (cy + dyo >= 0) & (cy + dyo < n))
                 ok = ok & inb
             w = jnp.where(ok, s[3, :][None, :] * fac, 0.0)
+            if with_potential:
+                if asmth > 0.0:
+                    pfac = pfac * _erfc_trunc_pallas(r2 * rinv, asmth)
+                wp = jnp.where(ok, s[3, :][None, :] * pfac, 0.0)
+                pw = pw + jnp.sum(wp, axis=1)
             return (ax - jnp.sum(w * dx, axis=1),
                     ay - jnp.sum(w * dy, axis=1),
-                    az - jnp.sum(w * dz, axis=1))
+                    az - jnp.sum(w * dz, axis=1),
+                    pw)
 
         z = jnp.zeros((cap,), t.dtype)
-        ax, ay, az = jax.lax.fori_loop(0, 9, body, (z, z, z))
+        ax, ay, az, pw = jax.lax.fori_loop(0, 9, body, (z, z, z, z))
         out_ref[0, 0, :] = ax
         out_ref[0, 1, :] = ay
         out_ref[0, 2, :] = az
+        if with_potential:
+            out_ref[0, 3, :] = pw
 
     return kernel
 
@@ -569,15 +584,16 @@ def _zpad_columns(soa, n: int, cap: int, periodic: bool):
 def shortrange_gravity_pallas_dma9(
     pos, mass, soft, alive, box: float, n_cells: int, capacity: int = 128,
     asmth: float = 0.0, rcut: float = 1e30, periodic: bool = True,
-    active=None, cl=None,
+    active=None, cl=None, with_potential: bool = False,
 ):
     """Nine-column variant of shortrange_gravity_pallas_dma (TPU only).
 
     ``cl``: optional prebuilt (possibly STALE, models.grids) cell list —
     pair geometry is per-pair minimum-image so stale assignments within
-    the displacement margin are exact. With ``active``, the SoA pack and
-    the result scatter are restricted to active tiles and their stencil
-    sources (needed-tile gating)."""
+    the displacement margin are exact. ``with_potential`` adds the
+    erfc-truncated softened potential (out row 3) and returns
+    (acc, pot, overflow) — the in-step potential feed for sink creation
+    and the Stamatellos column [G2: potential.c with PMGRID]."""
     if cl is None:
         cl = build_cell_list(pos, alive, 0.0, box, n_cells=n_cells,
                              capacity=capacity, periodic=periodic)
@@ -590,7 +606,8 @@ def shortrange_gravity_pallas_dma9(
         flags = cell_activity_flags(cl, active)
 
     out = pl.pallas_call(
-        _make_kernel_dma9(float(box), asmth, rcut, periodic, n_cells, cap),
+        _make_kernel_dma9(float(box), asmth, rcut, periodic, n_cells, cap,
+                          with_potential=with_potential),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(c,),
@@ -615,7 +632,12 @@ def shortrange_gravity_pallas_dma9(
     acc = acc.at[flat_idx, 0].set(out[:, 0, :].reshape(-1), mode="drop")
     acc = acc.at[flat_idx, 1].set(out[:, 1, :].reshape(-1), mode="drop")
     acc = acc.at[flat_idx, 2].set(out[:, 2, :].reshape(-1), mode="drop")
-    return jnp.where(alive[:, None], acc[:n_p], 0.0), cl.overflow
+    acc_p = jnp.where(alive[:, None], acc[:n_p], 0.0)
+    if with_potential:
+        pot = jnp.zeros((n_p + 1,), pos.dtype).at[flat_idx].set(
+            out[:, 3, :].reshape(-1), mode="drop")
+        return acc_p, jnp.where(alive, pot[:n_p], 0.0), cl.overflow
+    return acc_p, cl.overflow
 
 
 # ---------------------------------------------------------------------------

@@ -52,7 +52,7 @@ from gadget_leicester_tpu.ops.softening import SOFTFAC
 from gadget_leicester_tpu.parallel.mesh import AXIS
 
 _P_FIELDS = ["pos", "vel", "mass", "ptype", "pid", "acc", "acc_pm",
-             "pot", "old_acc", "ti_begstep", "ti_endstep"]
+             "pot", "pot_pm", "old_acc", "ti_begstep", "ti_endstep"]
 
 
 # ---------------------------------------------------------------------------
@@ -201,8 +201,8 @@ def state_specs(state: SimState):
     """PartitionSpecs: particle/gas arrays sharded on dim 0, everything
     else (sink registry, scalars, rng) replicated."""
     psh = ParticleState(**{f: P(AXIS) if f in ("mass", "ptype", "pid", "pot",
-                                               "old_acc", "ti_begstep",
-                                               "ti_endstep")
+                                               "pot_pm", "old_acc",
+                                               "ti_begstep", "ti_endstep")
                            else P(AXIS, None)
                            for f in _P_FIELDS},
                         alive=P(AXIS))
@@ -400,7 +400,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         acc_pm, pot = jax.lax.cond(
             is_pm_step, compute_pm,
             lambda _: (p.acc_pm,
-                       p.pot / jnp.maximum(cfg.grav_internal, 1e-37)),
+                       p.pot_pm / jnp.maximum(cfg.grav_internal, 1e-37)),
             operand=None)
 
         # O(surface) ghost buffers [G2: gravtree.c exports only flagged
@@ -449,8 +449,10 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         pot = pot * cfg.grav_internal
         total = acc + acc_pm
         old_acc = jnp.sqrt(jnp.sum(total * total, axis=-1))
+        # sinks/Stamatellos are unsupported under SPMD, so the stored pot
+        # carries the PM piece only (diagnostics recompute on demand)
         p = dataclasses.replace(p, acc=acc, acc_pm=acc_pm, pot=pot,
-                                old_acc=old_acc)
+                                pot_pm=pot, old_acc=old_acc)
         return dataclasses.replace(st, p=p, overflow_flags=flags), active
 
     def _sph(st, me, x0, x1, xc, active):

@@ -82,23 +82,53 @@ MinGasHsmlFractional 0.1
           flush=True)
 
     st = sim.state
+    # warm the step program at the current bin structure, then measure the
+    # axon scalar-readback latency (it would otherwise pollute per-step
+    # times: a pure fence costs ~30-150 ms over the tunnel)
+    st = sync_point_step(st, sim.cfg, sim.opts)
+    _ = float(st.p.pos[0, 0])
+    lats = []
+    for _ in range(7):
+        t0 = time.time()
+        _ = float(st.p.pos[0, 0])
+        lats.append(time.time() - t0)
+    fence_ms = sorted(lats)[len(lats) // 2] * 1e3
+    print(f"fence latency: {fence_ms:.1f} ms (median of 7)", flush=True)
+
+    # (a) per-step fenced timings, fence-corrected
     rows = []
     for i in range(n_timed):
         na = int(count_active(st))
         t0 = time.time()
         st = sync_point_step(st, sim.cfg, sim.opts)
         _ = float(st.p.pos[0, 0])
-        dt = (time.time() - t0) * 1e3
+        dt = (time.time() - t0) * 1e3 - fence_ms
         rows.append((na, dt))
         print(f"step {i}: active={na} ({na/n_tot:5.1%})  {dt:7.1f} ms",
               flush=True)
 
+    # (b) batched cross-check: dispatch a whole segment, fence ONCE;
+    # counts are read back after the clock stops (device scalars)
+    counts = []
+    t0 = time.time()
+    for _ in range(n_timed):
+        counts.append(count_active(st))
+        st = sync_point_step(st, sim.cfg, sim.opts)
+    _ = float(st.p.pos[0, 0])
+    seg_s = time.time() - t0
+    nas = [int(c) for c in counts]
+    upd = sum(nas)
+    print(f"batched segment: {n_timed} steps, {seg_s*1e3:.0f} ms total, "
+          f"{upd} updates -> EFFECTIVE {upd/seg_s:,.0f} updates/s "
+          f"(mean step {seg_s/n_timed*1e3:.0f} ms)", flush=True)
+
     full = [d for a, d in rows if a > 0.9 * n_tot]
-    part = [d for a, d in rows if a < 0.3 * n_tot]
+    part = [d for a, d in rows if a < 0.02 * n_tot]
     if full and part:
-        print(f"mean full-active step {sum(full)/len(full):.0f} ms; "
-              f"mean <30%-active step {sum(part)/len(part):.0f} ms",
-              flush=True)
+        f_ms, p_ms = sum(full) / len(full), sum(part) / len(part)
+        print(f"mean full-active step {f_ms:.0f} ms; "
+              f"mean <2%-active step {p_ms:.0f} ms "
+              f"(ratio {p_ms/f_ms:.2f})", flush=True)
 
 
 if __name__ == "__main__":
