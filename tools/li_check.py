@@ -56,8 +56,14 @@ MinGasHsmlFractional 0.1
 """
     cfg = parse_parameter_text(param)
     pmgrid = auto_pmgrid(2 * n_side**3)
+    # capacities: LI_SR_CAP/LI_SPH_CAP env overrides (0 = auto; the 64^3
+    # runs historically used sr 256 — at 128^3 the auto cap-128 grid is
+    # ~2x faster and overflow is watched below)
+    sr_cap = int(os.environ.get("LI_SR_CAP", "0"))
+    sph_cap = int(os.environ.get("LI_SPH_CAP", "64"))
     opts = SimOptions(periodic=True, pmgrid=pmgrid, gravity_mode="treepm",
-                      sph_backend="auto", sph_capacity=64, sr_capacity=256)
+                      sph_backend="auto", sph_capacity=sph_cap,
+                      sr_capacity=sr_cap)
     sim = Simulation(cfg, opts)
     pos, vel, mass, ptype, u = lcdm_gas_ics(
         n_side=n_side, box=box, omega0=0.3, omega_b=0.04,
