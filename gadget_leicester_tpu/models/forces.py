@@ -124,8 +124,9 @@ def compute_forces(
         acc_pm = state.p.acc_pm
         pot_pm = jnp.zeros_like(p.pot)
         if mode == "treepm":
-            acc, pot, pot_pm, sr_ovf, acc_pm, new_grids = _treepm_gravity(
-                state, cfg, opts, soft, do_pm, active)
+            with jax.named_scope("gravity"):
+                acc, pot, pot_pm, sr_ovf, acc_pm, new_grids = _treepm_gravity(
+                    state, cfg, opts, soft, do_pm, active)
             state = dataclasses.replace(
                 state, grids=new_grids,
                 overflow_flags=state.overflow_flags
@@ -179,8 +180,9 @@ def compute_forces(
 
     # ----- SPH ----------------------------------------------------------
     if do_sph and state.gas.n_gas_max > 1:
-        state = compute_sph(state, cfg, opts, fac,
-                            active[:state.gas.n_gas_max])
+        with jax.named_scope("sph"):
+            state = compute_sph(state, cfg, opts, fac,
+                                active[:state.gas.n_gas_max])
     return state
 
 
@@ -220,15 +222,16 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
                                capacity=cap, periodic=True)
 
     grids = state.grids
-    if grids is not None and grids.grav is not None:
-        count_now = jnp.sum(p.alive).astype(jnp.int32)
-        cl, gv, gd, gc, _ = refresh(
-            grids.grav, grids.grav_valid, grids.grav_disp,
-            grids.grav_count, margin, count_now, build)
-        grids = dataclasses.replace(grids, grav=cl, grav_valid=gv,
-                                    grav_disp=gd, grav_count=gc)
-    else:
-        cl = build()
+    with jax.named_scope("sr_grid"):
+        if grids is not None and grids.grav is not None:
+            count_now = jnp.sum(p.alive).astype(jnp.int32)
+            cl, gv, gd, gc, _ = refresh(
+                grids.grav, grids.grav_valid, grids.grav_disp,
+                grids.grav_count, margin, count_now, build)
+            grids = dataclasses.replace(grids, grav=cl, grav_valid=gv,
+                                        grav_disp=gd, grav_count=gc)
+        else:
+            cl = build()
 
     # the in-step potential is needed only by sink creation and the
     # Stamatellos cooling column estimate; otherwise diagnostics get the
@@ -242,18 +245,47 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
 
     pot_sr = None
     if use_pallas:
-        from gadget_leicester_tpu.ops.pallas_cells import \
-            shortrange_gravity_pallas_dma9
-        if with_pot:
-            acc_sr, pot_sr, overflow = shortrange_gravity_pallas_dma9(
+        from gadget_leicester_tpu.ops.pallas_cells import (
+            dilate_flags, grav_tile_flags, shortrange_gravity_pallas_dma9,
+            shortrange_gravity_pallas_dma9_sparse)
+        kw = dict(asmth=float(asmth_len), rcut=float(rcut),
+                  with_potential=with_pot)
+        if active is None:
+            res = shortrange_gravity_pallas_dma9(
                 p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
-                capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
-                periodic=True, active=active, cl=cl, with_potential=True)
+                capacity=cap, periodic=True, active=None, cl=cl, **kw)
         else:
-            acc_sr, overflow = shortrange_gravity_pallas_dma9(
-                p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
-                capacity=cap, asmth=float(asmth_len), rcut=float(rcut),
-                periodic=True, active=active, cl=cl)
+            # nearly-idle sync points take an O(active-tiles) path: pack,
+            # kernel grid, and merge are all sized by two compacted tile
+            # lists instead of N [G2: timestep.c — work follows the
+            # active list]. The dense path remains for busy steps; both
+            # share the scatter-built tile-activity flags.
+            c3 = n_cells ** 3
+            flags = grav_tile_flags(cl, active, n_cells)
+            needed = dilate_flags(flags > 0, n_cells, True)
+            k_act = max(128, c3 // 32)
+            k_pack = max(512, c3 // 8)
+            sparse_ok = ((jnp.sum(flags) <= k_act)
+                         & (jnp.sum(needed) <= k_pack))
+
+            def _sparse(_):
+                return shortrange_gravity_pallas_dma9_sparse(
+                    p.pos, p.mass, soft, p.alive, float(box),
+                    n_cells=n_cells, capacity=cap, flags=flags,
+                    needed=needed, k_act=k_act, k_pack=k_pack, cl=cl,
+                    periodic=True, **kw)
+
+            def _dense(_):
+                return shortrange_gravity_pallas_dma9(
+                    p.pos, p.mass, soft, p.alive, float(box),
+                    n_cells=n_cells, capacity=cap, periodic=True,
+                    active=None, cl=cl, flags=flags, **kw)
+
+            res = jax.lax.cond(sparse_ok, _sparse, _dense, operand=None)
+        if with_pot:
+            acc_sr, pot_sr, overflow = res
+        else:
+            acc_sr, overflow = res
     else:
         if with_pot:
             acc_sr, pot_sr = shortrange_gravity_cells(
@@ -266,13 +298,14 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
         overflow = cl.overflow
 
     def compute_pm(_):
-        if with_pot:
-            a, pt = pm_forces_periodic(p.pos, p.mass, p.alive, box, g,
-                                       with_potential=True)
-        else:
-            a = pm_forces_periodic(p.pos, p.mass, p.alive, box, g)
-            pt = jnp.zeros(p.n_max, a.dtype)
-        return a * cfg.grav_internal, pt
+        with jax.named_scope("pm"):
+            if with_pot:
+                a, pt = pm_forces_periodic(p.pos, p.mass, p.alive, box, g,
+                                           with_potential=True)
+            else:
+                a = pm_forces_periodic(p.pos, p.mass, p.alive, box, g)
+                pt = jnp.zeros(p.n_max, a.dtype)
+            return a * cfg.grav_internal, pt
 
     if do_pm is None:
         acc_pm, pot_pm = compute_pm(None)
@@ -587,18 +620,19 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         else:
             subcell = 1.0 / cl_e_in.inv_cell[0]
         max_hsml = (1.0 - 2.0 * KAPPA_SPH) * subcell
-        dres, cls_sph = density_adaptive_blocks(
-            pos_g, gas.vel_pred, mass_g,
-            jnp.minimum(gas.hsml, max_hsml), gas_mask,
-            des_num_ngb=cfg.des_num_ngb,
-            max_dev=cfg.max_num_ngb_deviation,
-            box=float(cfg.box_size) if opts.periodic else 1.0,
-            n_blocks=n_blocks, subcap=subcap,
-            min_hsml=min_hsml, max_hsml=max_hsml,
-            periodic=opts.periodic,
-            interpret=not use_pallas,
-            active=active, cls=cls_in,
-        )
+        with jax.named_scope("density"):
+            dres, cls_sph = density_adaptive_blocks(
+                pos_g, gas.vel_pred, mass_g,
+                jnp.minimum(gas.hsml, max_hsml), gas_mask,
+                des_num_ngb=cfg.des_num_ngb,
+                max_dev=cfg.max_num_ngb_deviation,
+                box=float(cfg.box_size) if opts.periodic else 1.0,
+                n_blocks=n_blocks, subcap=subcap,
+                min_hsml=min_hsml, max_hsml=max_hsml,
+                periodic=opts.periodic,
+                interpret=not use_pallas,
+                active=active, cls=cls_in,
+            )
     elif backend == "cells" and use_pallas:
         from gadget_leicester_tpu.ops.pallas_cells import (
             density_adaptive_pallas, hydro_force_pallas)
@@ -713,17 +747,18 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         fac_mu=fac.fac_mu,
     )
     if backend == "blocks":
-        hres = hydro_force_blocks(
-            cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho,
-            pressure, dres.dhsml_factor, dres.div_vel, dres.curl_vel,
-            gas_mask, visc_const=cfg.art_bulk_visc_const,
-            box=float(cfg.box_size) if opts.periodic else 1.0,
-            hubble_a2_flow=fac.hubble_a2_flow,
-            hubble_a2_norm=fac.hubble_a2_norm,
-            fac_mu=fac.fac_mu,
-            interpret=not use_pallas,
-            active=active,
-        )
+        with jax.named_scope("hydro"):
+            hres = hydro_force_blocks(
+                cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho,
+                pressure, dres.dhsml_factor, dres.div_vel, dres.curl_vel,
+                gas_mask, visc_const=cfg.art_bulk_visc_const,
+                box=float(cfg.box_size) if opts.periodic else 1.0,
+                hubble_a2_flow=fac.hubble_a2_flow,
+                hubble_a2_norm=fac.hubble_a2_norm,
+                fac_mu=fac.fac_mu,
+                interpret=not use_pallas,
+                active=active,
+            )
     elif backend == "cells" and use_pallas:
         hres = hydro_force_pallas(
             cl_sph, pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho,

@@ -97,18 +97,22 @@ def sync_point_step(state: SimState, cfg: SimConfig, opts: SimOptions) -> SimSta
     ti_next = timeline.min_active_ti_end(state.p.ti_endstep, state.p.alive)
     if pm_split:
         ti_next = jnp.minimum(ti_next, state.pm_ti_endstep)
-    state = integrate.drift_all(state, cfg, opts, ti_next)
+    with jax.named_scope("drift"):
+        state = integrate.drift_all(state, cfg, opts, ti_next)
     is_pm_step = state.ti_current == state.pm_ti_endstep
     state = compute_forces(state, cfg, opts,
                            do_pm=is_pm_step if pm_split else None)
     if opts.cooling != "none":
-        state = apply_cooling(state, cfg, opts)
+        with jax.named_scope("cooling"):
+            state = apply_cooling(state, cfg, opts)
     if opts.sinks:
-        state = create_sinks(state, cfg, opts)
-        state = accrete_onto_sinks(state, cfg, opts)
-    state = integrate.advance_and_find_timesteps(state, cfg, opts)
-    if pm_split:
-        state = integrate.pm_step_update(state, cfg, opts, is_pm_step)
+        with jax.named_scope("sinks"):
+            state = create_sinks(state, cfg, opts)
+            state = accrete_onto_sinks(state, cfg, opts)
+    with jax.named_scope("advance"):
+        state = integrate.advance_and_find_timesteps(state, cfg, opts)
+        if pm_split:
+            state = integrate.pm_step_update(state, cfg, opts, is_pm_step)
     return state
 
 

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 from gadget_leicester_tpu.ops.neighbors import CellList, build_cell_list
 
 
-def pack_cells_soa(cl: CellList, pos, mass, soft, alive, needed=None):
+def pack_cells_soa(cl: CellList, pos, mass, soft, alive, needed=None,
+                   active=None):
     """[C, 8, cap] SoA tiles from a cell list.
 
     ONE [N,8]-row gather + transpose instead of six separate scalar
@@ -45,7 +46,12 @@ def pack_cells_soa(cl: CellList, pos, mass, soft, alive, needed=None):
 
     ``needed`` ([C] bool, None = all): tiles that no gated kernel tile
     will read collapse their gather to row 0 and pack as parked — the
-    active-set economy of [G2: timestep.c] applied to the pack itself."""
+    active-set economy of [G2: timestep.c] applied to the pack itself.
+
+    ``active`` ([N] bool, None): rides the otherwise-zero row 7, so tile
+    activity flags come from a cheap reduce over the packed tiles instead
+    of a second [C,cap] gather (cell_activity_flags costs ~45 ms at 4.2M;
+    this row is free — the pack fetches 8-float rows either way)."""
     c, cap = cl.cells.shape
     idx = jnp.maximum(cl.cells, 0)
     valid = (cl.cells >= 0) & alive[idx]
@@ -53,9 +59,11 @@ def pack_cells_soa(cl: CellList, pos, mass, soft, alive, needed=None):
         valid = valid & needed[:, None]
         idx = jnp.where(needed[:, None], idx, 0)
     soft_inv = jnp.where(soft > 0, 1.0 / soft, 0.0)
+    row7 = jnp.zeros_like(mass) if active is None else \
+        active.astype(mass.dtype)
     table = jnp.stack(
         [pos[:, 0], pos[:, 1], pos[:, 2], mass, soft,
-         jnp.ones_like(mass), soft_inv, jnp.zeros_like(mass)], axis=1)
+         jnp.ones_like(mass), soft_inv, row7], axis=1)
     rows = table[idx]                       # [C, cap, 8]
     far = -7.0 / cl.inv_cell[0]
     park = jnp.stack([far, far, far, jnp.zeros_like(far),
@@ -445,23 +453,32 @@ def shortrange_gravity_pallas_dma(
 
 
 def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap,
-                      with_potential=False):
+                      with_potential=False, sparse=False):
     """Gravity cell-pair kernel, z-column variant: the 27-cell stencil
     collapses to NINE (dx,dy) columns, each ONE contiguous [8, 3*cap]
     DMA from a z-padded source layout and one [cap, 3*cap] evaluation.
     The 27->9 step reduction attacks the measured bottleneck — per-step
     DMA/loop issue overhead, not per-pair VPU math (bench_sr.py: removing
-    the truncation poly changed the time by only 4.5%)."""
+    the truncation poly changed the time by only 4.5%).
+
+    ``sparse``: the grid runs over a COMPACTED active-tile list — the
+    prefetched vector holds real flat cell ids (-1 = padding) instead of
+    0/1 flags, and the target block is the i-th compacted tile."""
 
     def kernel(flag_ref, tgt_ref, src_hbm, out_ref, buf, sems):
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-        @pl.when(flag_ref[pl.program_id(0)] > 0)
-        def _gated():
-            _run(tgt_ref, src_hbm, out_ref, buf, sems)
+        if sparse:
+            @pl.when(flag_ref[pl.program_id(0)] >= 0)
+            def _gated():
+                _run(tgt_ref, src_hbm, out_ref, buf, sems,
+                     flag_ref[pl.program_id(0)])
+        else:
+            @pl.when(flag_ref[pl.program_id(0)] > 0)
+            def _gated():
+                _run(tgt_ref, src_hbm, out_ref, buf, sems, pl.program_id(0))
 
-    def _run(tgt_ref, src_hbm, out_ref, buf, sems):
-        c = pl.program_id(0)
+    def _run(tgt_ref, src_hbm, out_ref, buf, sems, c):
         n = n_cells
         cx = c // (n * n)
         rem = c % (n * n)
@@ -580,11 +597,13 @@ def _zpad_columns(soa, n: int, cap: int, periodic: bool):
 
 
 @partial(hybrid_jit, static_argnames=("box", "n_cells", "capacity", "periodic",
-                                   "asmth", "rcut"))
+                                   "asmth", "rcut", "interpret",
+                                   "with_potential"))
 def shortrange_gravity_pallas_dma9(
     pos, mass, soft, alive, box: float, n_cells: int, capacity: int = 128,
     asmth: float = 0.0, rcut: float = 1e30, periodic: bool = True,
-    active=None, cl=None, with_potential: bool = False,
+    active=None, cl=None, with_potential: bool = False, flags=None,
+    interpret: bool = False,
 ):
     """Nine-column variant of shortrange_gravity_pallas_dma (TPU only).
 
@@ -597,13 +616,18 @@ def shortrange_gravity_pallas_dma9(
     if cl is None:
         cl = build_cell_list(pos, alive, 0.0, box, n_cells=n_cells,
                              capacity=capacity, periodic=periodic)
-    soa = pack_cells_soa(cl, pos, mass, soft, alive)
-    c, _, cap = soa.shape
-    soa_z = _zpad_columns(soa, n_cells, cap, periodic)
-    if active is None:
-        flags = jnp.ones((c,), jnp.int32)
-    else:
-        flags = cell_activity_flags(cl, active)
+    with jax.named_scope("sr_pack"):
+        soa = pack_cells_soa(cl, pos, mass, soft, alive,
+                             active=active if flags is None else None)
+        c, _, cap = soa.shape
+        soa_z = _zpad_columns(soa, n_cells, cap, periodic)
+        if flags is not None:
+            flags = flags.astype(jnp.int32)
+        elif active is None:
+            flags = jnp.ones((c,), jnp.int32)
+        else:
+            # tile activity from the packed row 7 — no second [C,cap] gather
+            flags = (jnp.max(soa[:, 7, :], axis=1) > 0).astype(jnp.int32)
 
     out = pl.pallas_call(
         _make_kernel_dma9(float(box), asmth, rcut, periodic, n_cells, cap,
@@ -622,22 +646,119 @@ def shortrange_gravity_pallas_dma9(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((c, 8, cap), soa.dtype),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(flags, soa, soa_z)
 
-    idx = jnp.maximum(cl.cells, 0)
-    valid = cl.cells >= 0
+    with jax.named_scope("sr_merge"):
+        idx = jnp.maximum(cl.cells, 0)
+        valid = cl.cells >= 0
+        n_p = pos.shape[0]
+        flat_idx = jnp.where(valid, idx, n_p).reshape(-1)
+        acc = jnp.zeros((n_p + 1, 3), pos.dtype)
+        acc = acc.at[flat_idx, 0].set(out[:, 0, :].reshape(-1), mode="drop")
+        acc = acc.at[flat_idx, 1].set(out[:, 1, :].reshape(-1), mode="drop")
+        acc = acc.at[flat_idx, 2].set(out[:, 2, :].reshape(-1), mode="drop")
+        acc_p = jnp.where(alive[:, None], acc[:n_p], 0.0)
+        if with_potential:
+            pot = jnp.zeros((n_p + 1,), pos.dtype).at[flat_idx].set(
+                out[:, 3, :].reshape(-1), mode="drop")
+            return acc_p, jnp.where(alive, pot[:n_p], 0.0), cl.overflow
+        return acc_p, cl.overflow
+
+
+def grav_tile_flags(cl: CellList, active, n_cells: int):
+    """[C] int32 tile-activity flags via an O(N) scatter over cell_of —
+    cheaper than the [C, cap] gather of cell_activity_flags and usable
+    before any pack exists. Stale cached assignments are fine: gating
+    only needs to agree with the cells[] the kernel will walk."""
+    c = n_cells ** 3
+    co = jnp.where(cl.cell_of >= 0, cl.cell_of, c)
+    return jnp.zeros((c + 1,), jnp.int32).at[co].max(
+        active.astype(jnp.int32), mode="drop")[:c]
+
+
+def shortrange_gravity_pallas_dma9_sparse(
+    pos, mass, soft, alive, box: float, n_cells: int, capacity: int,
+    asmth: float, rcut: float, flags, needed, k_act: int, k_pack: int,
+    cl: CellList, periodic: bool = True, with_potential: bool = False,
+    interpret: bool = False,
+):
+    """Sparse variant of shortrange_gravity_pallas_dma9 for nearly-idle
+    sync points [G2: timestep.c — the active list IS the work list].
+
+    Everything is O(active tiles), not O(N): only the ``needed`` cells
+    (active tiles + their 27-stencil sources, <= k_pack) are gathered
+    into the [C, 8, cap] source geometry (unneeded rows stay zero: mass 0
+    contributes nothing); the kernel grid runs over a compacted list of
+    <= k_act active tiles; the merge scatters only those tiles' slots.
+    Inactive particles' acc entries are left 0 — the caller's
+    where(active, ...) keeps their frozen values, same as the dense path.
+
+    The caller must guarantee count(flags) <= k_act and
+    count(needed) <= k_pack (lax.cond to the dense path otherwise)."""
+    c3 = n_cells ** 3
+    cap = capacity
     n_p = pos.shape[0]
-    flat_idx = jnp.where(valid, idx, n_p).reshape(-1)
-    acc = jnp.zeros((n_p + 1, 3), pos.dtype)
-    acc = acc.at[flat_idx, 0].set(out[:, 0, :].reshape(-1), mode="drop")
-    acc = acc.at[flat_idx, 1].set(out[:, 1, :].reshape(-1), mode="drop")
-    acc = acc.at[flat_idx, 2].set(out[:, 2, :].reshape(-1), mode="drop")
-    acc_p = jnp.where(alive[:, None], acc[:n_p], 0.0)
-    if with_potential:
-        pot = jnp.zeros((n_p + 1,), pos.dtype).at[flat_idx].set(
-            out[:, 3, :].reshape(-1), mode="drop")
-        return acc_p, jnp.where(alive, pot[:n_p], 0.0), cl.overflow
-    return acc_p, cl.overflow
+
+    with jax.named_scope("sr_sparse_pack"):
+        act_ids = jnp.nonzero(flags > 0, size=k_act, fill_value=-1)[0]
+        act_ids = act_ids.astype(jnp.int32)
+        need_ids = jnp.nonzero(needed, size=k_pack, fill_value=-1)[0]
+
+        nid = jnp.maximum(need_ids, 0)
+        cells_n = cl.cells[nid]                       # [k_pack, cap]
+        idxp = jnp.maximum(cells_n, 0)
+        validp = (cells_n >= 0) & alive[idxp] & (need_ids >= 0)[:, None]
+        soft_inv = jnp.where(soft > 0, 1.0 / soft, 0.0)
+        table = jnp.stack(
+            [pos[:, 0], pos[:, 1], pos[:, 2], mass, soft,
+             jnp.ones_like(mass), soft_inv, jnp.zeros_like(mass)], axis=1)
+        rows = table[idxp]                            # [k_pack, cap, 8]
+        far = -7.0 / cl.inv_cell[0]
+        park = jnp.stack([far, far, far, jnp.zeros_like(far),
+                          jnp.zeros_like(far), jnp.zeros_like(far),
+                          jnp.zeros_like(far), jnp.zeros_like(far)])
+        rows = jnp.where(validp[:, :, None], rows, park[None, None, :])
+        dst = jnp.where(need_ids >= 0, need_ids, c3)
+        soa = jnp.zeros((c3 + 1, 8, cap), pos.dtype).at[dst].set(
+            rows.transpose(0, 2, 1), mode="drop")[:c3]
+        soa_z = _zpad_columns(soa, n_cells, cap, periodic)
+        tgt = soa[jnp.maximum(act_ids, 0)]            # [k_act, 8, cap]
+
+    out = pl.pallas_call(
+        _make_kernel_dma9(float(box), asmth, rcut, periodic, n_cells, cap,
+                          with_potential=with_potential, sparse=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(k_act,),
+            in_specs=[
+                pl.BlockSpec((1, 8, cap), lambda ci, *_: (ci, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, cap), lambda ci, *_: (ci, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, 3 * cap), soa.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_act, 8, cap), soa.dtype),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(act_ids, tgt, soa_z)
+
+    with jax.named_scope("sr_sparse_merge"):
+        cells_a = cl.cells[jnp.maximum(act_ids, 0)]   # [k_act, cap]
+        validm = (cells_a >= 0) & (act_ids >= 0)[:, None]
+        fidx = jnp.where(validm, jnp.maximum(cells_a, 0), n_p).reshape(-1)
+        acc = jnp.zeros((n_p + 1, 3), pos.dtype)
+        acc = acc.at[fidx, 0].set(out[:, 0, :].reshape(-1), mode="drop")
+        acc = acc.at[fidx, 1].set(out[:, 1, :].reshape(-1), mode="drop")
+        acc = acc.at[fidx, 2].set(out[:, 2, :].reshape(-1), mode="drop")
+        acc_p = jnp.where(alive[:, None], acc[:n_p], 0.0)
+        if with_potential:
+            pot = jnp.zeros((n_p + 1,), pos.dtype).at[fidx].set(
+                out[:, 3, :].reshape(-1), mode="drop")
+            return acc_p, jnp.where(alive, pot[:n_p], 0.0), cl.overflow
+        return acc_p, cl.overflow
 
 
 # ---------------------------------------------------------------------------

@@ -569,22 +569,24 @@ def density_adaptive_blocks(
     ng = pos.shape[0]
     b, lanes = cl_e.cells.shape
 
-    if active is not None:
-        from gadget_leicester_tpu.ops.pallas_cells import cell_activity_flags
-        flags = cell_activity_flags(cl_e, active & gas_mask)
-    else:
-        flags = None
+    with jax.named_scope("density_pack"):
+        if active is not None:
+            from gadget_leicester_tpu.ops.pallas_cells import \
+                cell_activity_flags
+            flags = cell_activity_flags(cl_e, active & gas_mask)
+        else:
+            flags = None
 
-    ones = jnp.ones(ng, pos.dtype)
-    soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask)
-    soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask)
-    idx = jnp.maximum(cl_e.cells, 0)
-    valid = (cl_e.cells >= 0) & gas_mask[idx]
-    if active is not None:
-        valid = valid & active[idx]
-    mass_slots = soa_e[:, 3, :].reshape(-1)
-    mask_slots = valid.reshape(-1)
-    h0_slots = jnp.where(valid, hsml0[idx], 1.0).reshape(-1)
+        ones = jnp.ones(ng, pos.dtype)
+        soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask)
+        soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask)
+        idx = jnp.maximum(cl_e.cells, 0)
+        valid = (cl_e.cells >= 0) & gas_mask[idx]
+        if active is not None:
+            valid = valid & active[idx]
+        mass_slots = soa_e[:, 3, :].reshape(-1)
+        mask_slots = valid.reshape(-1)
+        h0_slots = jnp.where(valid, hsml0[idx], 1.0).reshape(-1)
 
     def sweep(h_slots, undone=None):
         fl = flags
@@ -612,15 +614,16 @@ def density_adaptive_blocks(
         return jnp.full((ng + 1,), fill, x_slots.dtype).at[flat_idx].set(
             x_slots, mode="drop")[:ng]
 
-    res = DensityResult(
-        rho=to_part(res_slots.rho),
-        dhsml_factor=to_part(res_slots.dhsml_factor, 1.0),
-        div_vel=to_part(res_slots.div_vel),
-        curl_vel=to_part(res_slots.curl_vel),
-        num_ngb_eff=to_part(res_slots.num_ngb_eff),
-        hsml=to_part(res_slots.hsml, 1.0),
-        iters=res_slots.iters,
-    )
+    with jax.named_scope("density_merge"):
+        res = DensityResult(
+            rho=to_part(res_slots.rho),
+            dhsml_factor=to_part(res_slots.dhsml_factor, 1.0),
+            div_vel=to_part(res_slots.div_vel),
+            curl_vel=to_part(res_slots.curl_vel),
+            num_ngb_eff=to_part(res_slots.num_ngb_eff),
+            hsml=to_part(res_slots.hsml, 1.0),
+            iters=res_slots.iters,
+        )
     return res, (cl_e, cl_o)
 
 
@@ -646,31 +649,34 @@ def hydro_force_blocks(
     balsara = jnp.abs(div_vel) / (
         jnp.abs(div_vel) + curl_vel + 1e-4 * c_snd / h_safe / fac_mu)
 
-    if active is not None:
-        from gadget_leicester_tpu.ops.pallas_cells import cell_activity_flags
-        flags = cell_activity_flags(cl_e, active & gas_mask)
-    else:
-        flags = None
+    with jax.named_scope("hydro_pack"):
+        if active is not None:
+            from gadget_leicester_tpu.ops.pallas_cells import \
+                cell_activity_flags
+            flags = cell_activity_flags(cl_e, active & gas_mask)
+        else:
+            flags = None
 
-    soa_a = pack_sph_soa(cl_e, pos, vel, mass, hsml, gas_mask)
+        soa_a = pack_sph_soa(cl_e, pos, vel, mass, hsml, gas_mask)
 
-    def soa_b_of(cl):
-        idx = jnp.maximum(cl.cells, 0)
-        valid = ((cl.cells >= 0) & gas_mask[idx]).astype(pos.dtype)
-        zero = jnp.zeros_like(valid)
-        return jnp.stack([rho[idx], p_over_rho2[idx], c_snd[idx],
-                          balsara[idx], valid, zero, zero, zero], axis=1)
+        def soa_b_of(cl):
+            idx = jnp.maximum(cl.cells, 0)
+            valid = ((cl.cells >= 0) & gas_mask[idx]).astype(pos.dtype)
+            zero = jnp.zeros_like(valid)
+            return jnp.stack([rho[idx], p_over_rho2[idx], c_snd[idx],
+                              balsara[idx], valid, zero, zero, zero], axis=1)
 
-    soa_b = soa_b_of(cl_e)
-    src_a = pack_sph_soa(cl_o, pos, vel, mass, hsml, gas_mask)
-    src16 = jnp.concatenate([src_a, soa_b_of(cl_o)], axis=1)
+        soa_b = soa_b_of(cl_e)
+        src_a = pack_sph_soa(cl_o, pos, vel, mass, hsml, gas_mask)
+        src16 = jnp.concatenate([src_a, soa_b_of(cl_o)], axis=1)
 
     out = hydro_sums_blocks(cl_e, soa_a, soa_b, src16, box, visc_const,
                             hubble_a2_flow, fac_mu, interpret=interpret,
                             flags=flags)
-    ax, ay, az, dt_raw, msv = scatter_cell_rows(cl_e, out, ng,
-                                                rows=(0, 1, 2, 3, 4))
-    acc = jnp.stack([ax, ay, az], axis=-1)
+    with jax.named_scope("hydro_merge"):
+        ax, ay, az, dt_raw, msv = scatter_cell_rows(cl_e, out, ng,
+                                                    rows=(0, 1, 2, 3, 4))
+        acc = jnp.stack([ax, ay, az], axis=-1)
     dt_ent = dt_raw * GAMMA_MINUS1 / (
         jnp.asarray(hubble_a2_norm, rho.dtype) * rho_safe**GAMMA_MINUS1)
     gm = gas_mask
