@@ -620,19 +620,55 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         else:
             subcell = 1.0 / cl_e_in.inv_cell[0]
         max_hsml = (1.0 - 2.0 * KAPPA_SPH) * subcell
+        box_v = float(cfg.box_size) if opts.periodic else 1.0
+        hsml_in = jnp.minimum(gas.hsml, max_hsml)
+        dkw = dict(des_num_ngb=cfg.des_num_ngb,
+                   max_dev=cfg.max_num_ngb_deviation,
+                   box=box_v, min_hsml=min_hsml, max_hsml=max_hsml,
+                   periodic=opts.periodic)
+        # nearly-idle sync points take the compacted-tile SPH path (see
+        # the gravity analog in _treepm_gravity): pack/solve/merge sized
+        # by active tiles, not B or N [G2: density.c active-list economy]
+        sph_sparse = None
+        if use_pallas:
+            from gadget_leicester_tpu.ops.sph_blocks import (
+                _needed_odd, density_adaptive_blocks_sparse,
+                hydro_force_blocks_sparse, sph_block_flags)
+            b3 = n_blocks ** 3
+            b_o = cls_in[1].cells.shape[0]
+            flags_e = sph_block_flags(cls_in[0], active_g)
+            needed_o = _needed_odd(flags_e > 0, n_blocks, opts.periodic)
+            k_act = min(b3, max(64, b3 // 32))
+            k_pack = min(b_o, max(256, b_o // 8))
+            sparse_ok = ((jnp.sum(flags_e) <= k_act)
+                         & (jnp.sum(needed_o) <= k_pack))
+            sph_sparse = (flags_e, k_act, k_pack, sparse_ok)
         with jax.named_scope("density"):
-            dres, cls_sph = density_adaptive_blocks(
-                pos_g, gas.vel_pred, mass_g,
-                jnp.minimum(gas.hsml, max_hsml), gas_mask,
-                des_num_ngb=cfg.des_num_ngb,
-                max_dev=cfg.max_num_ngb_deviation,
-                box=float(cfg.box_size) if opts.periodic else 1.0,
-                n_blocks=n_blocks, subcap=subcap,
-                min_hsml=min_hsml, max_hsml=max_hsml,
-                periodic=opts.periodic,
-                interpret=not use_pallas,
-                active=active, cls=cls_in,
-            )
+            if sph_sparse is not None:
+                flags_e, k_act, k_pack, sparse_ok = sph_sparse
+
+                def _dense_d(_):
+                    dres, _cls = density_adaptive_blocks(
+                        pos_g, gas.vel_pred, mass_g, hsml_in, gas_mask,
+                        n_blocks=n_blocks, subcap=subcap,
+                        interpret=False, active=active, cls=cls_in, **dkw)
+                    return dres
+
+                def _sparse_d(_):
+                    return density_adaptive_blocks_sparse(
+                        pos_g, gas.vel_pred, mass_g, hsml_in, gas_mask,
+                        active, flags_e, k_act=k_act, k_pack=k_pack,
+                        cls=cls_in, interpret=False, **dkw)
+
+                dres = jax.lax.cond(sparse_ok, _sparse_d, _dense_d,
+                                    operand=None)
+                cls_sph = cls_in
+            else:
+                dres, cls_sph = density_adaptive_blocks(
+                    pos_g, gas.vel_pred, mass_g, hsml_in, gas_mask,
+                    n_blocks=n_blocks, subcap=subcap,
+                    interpret=not use_pallas,
+                    active=active, cls=cls_in, **dkw)
     elif backend == "cells" and use_pallas:
         from gadget_leicester_tpu.ops.pallas_cells import (
             density_adaptive_pallas, hydro_force_pallas)
@@ -747,18 +783,37 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         fac_mu=fac.fac_mu,
     )
     if backend == "blocks":
+        hkw = dict(visc_const=cfg.art_bulk_visc_const,
+                   box=float(cfg.box_size) if opts.periodic else 1.0,
+                   hubble_a2_flow=fac.hubble_a2_flow,
+                   hubble_a2_norm=fac.hubble_a2_norm,
+                   fac_mu=fac.fac_mu)
         with jax.named_scope("hydro"):
-            hres = hydro_force_blocks(
-                cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho,
-                pressure, dres.dhsml_factor, dres.div_vel, dres.curl_vel,
-                gas_mask, visc_const=cfg.art_bulk_visc_const,
-                box=float(cfg.box_size) if opts.periodic else 1.0,
-                hubble_a2_flow=fac.hubble_a2_flow,
-                hubble_a2_norm=fac.hubble_a2_norm,
-                fac_mu=fac.fac_mu,
-                interpret=not use_pallas,
-                active=active,
-            )
+            if sph_sparse is not None:
+                flags_e, k_act, k_pack, sparse_ok = sph_sparse
+
+                def _dense_h(_):
+                    return hydro_force_blocks(
+                        cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml,
+                        dres.rho, pressure, dres.dhsml_factor,
+                        dres.div_vel, dres.curl_vel, gas_mask,
+                        interpret=False, active=active, **hkw)
+
+                def _sparse_h(_):
+                    return hydro_force_blocks_sparse(
+                        cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml,
+                        dres.rho, pressure, dres.dhsml_factor,
+                        dres.div_vel, dres.curl_vel, gas_mask, flags_e,
+                        k_act=k_act, k_pack=k_pack, interpret=False, **hkw)
+
+                hres = jax.lax.cond(sparse_ok, _sparse_h, _dense_h,
+                                    operand=None)
+            else:
+                hres = hydro_force_blocks(
+                    cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml,
+                    dres.rho, pressure, dres.dhsml_factor, dres.div_vel,
+                    dres.curl_vel, gas_mask,
+                    interpret=not use_pallas, active=active, **hkw)
     elif backend == "cells" and use_pallas:
         hres = hydro_force_pallas(
             cl_sph, pos_g, gas.vel_pred, mass_g, dres.hsml, dres.rho,

@@ -190,7 +190,8 @@ def _pair_geom_minimage(t, s, box, periodic):
     return dx, dy, dz, r2 * rinv, rinv
 
 
-def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool):
+def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool,
+                               sparse: bool = False):
     from gadget_leicester_tpu.ops.sph_kernels import (kernel_dw_dr,
                                                       kernel_w_and_dwdh)
 
@@ -213,8 +214,7 @@ def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool):
                 rz + jnp.sum(fac * (dvx * dy - dvy * dx), axis=1))
 
     if dma:
-        def run_tile(tgt_ref, h_ref, src_hbm, out_ref, buf, sems):
-            b = pl.program_id(0)
+        def run_tile(tgt_ref, h_ref, src_hbm, out_ref, buf, sems, b):
             t = tgt_ref[0]
             ht = h_ref[0, 0, :][:, None]
 
@@ -249,12 +249,21 @@ def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool):
 
         def kernel(flag_ref, tgt_ref, h_ref, src_hbm, out_ref, buf, sems):
             # activity gate: no active gas target in this block -> skip.
-            # flag_ref: scalar-prefetch [B] int32 in SMEM.
+            # flag_ref: scalar-prefetch [B] int32 in SMEM. In sparse mode
+            # it instead holds COMPACTED real block ids (-1 = padding) and
+            # the grid runs over the compacted list.
             out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-            @pl.when(flag_ref[pl.program_id(0)] > 0)
-            def _gated():
-                run_tile(tgt_ref, h_ref, src_hbm, out_ref, buf, sems)
+            if sparse:
+                @pl.when(flag_ref[pl.program_id(0)] >= 0)
+                def _gated():
+                    run_tile(tgt_ref, h_ref, src_hbm, out_ref, buf, sems,
+                             flag_ref[pl.program_id(0)])
+            else:
+                @pl.when(flag_ref[pl.program_id(0)] > 0)
+                def _gated():
+                    run_tile(tgt_ref, h_ref, src_hbm, out_ref, buf, sems,
+                             pl.program_id(0))
 
         return kernel
 
@@ -354,7 +363,7 @@ def density_sums_blocks(cl_e: CellList, soa_e, soa_o, h_slots, box: float,
 
 
 def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
-                             dma: bool):
+                             dma: bool, sparse: bool = False):
     from gadget_leicester_tpu.ops.sph_kernels import kernel_dw_dr
 
     def compute(params, ta, tb, s16, acc):
@@ -403,9 +412,9 @@ def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
                 jnp.maximum(msv_a, msv))
 
     if dma:
-        def run_tile(params_ref, tgt_a, tgt_b, src_hbm, out_ref, buf, sems):
+        def run_tile(params_ref, tgt_a, tgt_b, src_hbm, out_ref, buf, sems,
+                     b):
             params = (params_ref[0, 0], params_ref[0, 1])
-            b = pl.program_id(0)
             ta, tb = tgt_a[0], tgt_b[0]
 
             def dma_g(g4, slot):
@@ -440,10 +449,16 @@ def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
                    buf, sems):
             out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-            @pl.when(flag_ref[pl.program_id(0)] > 0)
-            def _gated():
-                run_tile(params_ref, tgt_a, tgt_b, src_hbm, out_ref,
-                         buf, sems)
+            if sparse:
+                @pl.when(flag_ref[pl.program_id(0)] >= 0)
+                def _gated():
+                    run_tile(params_ref, tgt_a, tgt_b, src_hbm, out_ref,
+                             buf, sems, flag_ref[pl.program_id(0)])
+            else:
+                @pl.when(flag_ref[pl.program_id(0)] > 0)
+                def _gated():
+                    run_tile(params_ref, tgt_a, tgt_b, src_hbm, out_ref,
+                             buf, sems, pl.program_id(0))
 
         return kernel
 
@@ -684,4 +699,283 @@ def hydro_force_blocks(
         acc=jnp.where(gm[:, None], acc, 0.0),
         dt_entropy=jnp.where(gm, dt_ent, 0.0),
         max_signal_vel=jnp.where(gm, msv, 0.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sparse (compacted active-tile) variants for nearly-idle sync points
+# [G2: timestep.c / density.c — the active list IS the work list]
+# ---------------------------------------------------------------------------
+
+
+def sph_block_flags(cl_e: CellList, active):
+    """[B] int32 even-block activity flags via an O(N) scatter over the
+    cached fine-cell assignments (cell_of) — no [B, lanes] gather, usable
+    before any pack exists. Stale assignments are fine: gating only needs
+    to agree with the cells[] the kernel will walk."""
+    nb = cl_e.n_cells
+    m = 2 * nb
+    cid = cl_e.cell_of
+    cx = cid // (m * m)
+    rem = cid % (m * m)
+    cy, cz = rem // m, rem % m
+    bid = ((cx >> 1) * nb + (cy >> 1)) * nb + (cz >> 1)
+    b3 = nb ** 3
+    dst = jnp.where(active, bid, b3)
+    return jnp.zeros((b3 + 1,), jnp.int32).at[dst].max(
+        jnp.ones_like(dst), mode="drop")[:b3]
+
+
+def _sparse_target_pack(cl_e: CellList, act_ids, table, valid_of):
+    """Gather [k_act, rows, lanes] target tiles for the compacted even
+    blocks. ``valid_of(idx)`` -> bool per slot (mask semantics of the
+    caller). Returns (soa_t, idx_a, valid_a); invalid slots are parked
+    far away with zero mass."""
+    cells_a = cl_e.cells[jnp.maximum(act_ids, 0)]
+    idx_a = jnp.maximum(cells_a, 0)
+    valid_a = (cells_a >= 0) & valid_of(idx_a) & (act_ids >= 0)[:, None]
+    rows = table[idx_a]                      # [k_act, lanes, R]
+    r = table.shape[1]
+    far = jnp.asarray(-7.0, table.dtype) / cl_e.inv_cell[0]
+    park = jnp.concatenate([jnp.full((3,), far, table.dtype),
+                            jnp.zeros((r - 3,), table.dtype)])
+    rows = jnp.where(valid_a[:, :, None], rows, park[None, None, :])
+    return rows.transpose(0, 2, 1), idx_a, valid_a
+
+
+def _sparse_odd_source(cl_o: CellList, need_ids, table, valid_of, nb,
+                       periodic):
+    """Scatter-build the FULL-geometry odd source SoA from only the
+    ``needed`` blocks (zeros elsewhere: zero mass / zero valid-row rows
+    contribute nothing to any sum), then z-pad for the column DMAs."""
+    b_o = cl_o.cells.shape[0]
+    r = table.shape[1]
+    lanes = cl_o.cells.shape[1]
+    cells_n = cl_o.cells[jnp.maximum(need_ids, 0)]
+    idx_n = jnp.maximum(cells_n, 0)
+    valid_n = (cells_n >= 0) & valid_of(idx_n) & (need_ids >= 0)[:, None]
+    rows = jnp.where(valid_n[:, :, None], table[idx_n], 0.0)
+    dst = jnp.where(need_ids >= 0, need_ids, b_o)
+    src = jnp.zeros((b_o + 1, r, lanes), table.dtype).at[dst].set(
+        rows.transpose(0, 2, 1), mode="drop")[:b_o]
+    return _zpad_odd(src, nb, periodic)
+
+
+def density_sums_blocks_sparse(cl_e: CellList, soa_t, h_tiles, src_zpad,
+                               act_ids, box: float,
+                               interpret: bool = False):
+    """Density sweep over a COMPACTED tile list: grid = (k_act,), the
+    prefetched vector holds real even-block ids (-1 = padding)."""
+    k_act, _, lanes = soa_t.shape
+    nb = cl_e.n_cells
+    periodic = cl_e.periodic
+    return pl.pallas_call(
+        _make_density_block_kernel(float(box), periodic, nb, lanes,
+                                   dma=True, sparse=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(k_act,),
+            in_specs=[
+                pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, lanes), lambda bi, *_: (bi, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, 8, lanes), soa_t.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_act, 8, lanes), soa_t.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(act_ids, soa_t, h_tiles.reshape(k_act, 1, lanes), src_zpad)
+
+
+def hydro_sums_blocks_sparse(cl_e: CellList, soa_a, soa_b, src_zpad,
+                             act_ids, box: float, visc_const: float,
+                             hubble_a2_flow, fac_mu,
+                             interpret: bool = False):
+    """Hydro sweep over a COMPACTED tile list (see
+    density_sums_blocks_sparse)."""
+    k_act, _, lanes = soa_a.shape
+    nb = cl_e.n_cells
+    periodic = cl_e.periodic
+    params = jnp.stack([jnp.asarray(hubble_a2_flow, soa_a.dtype),
+                        jnp.asarray(fac_mu, soa_a.dtype)]).reshape(1, 2)
+    return pl.pallas_call(
+        _make_hydro_block_kernel(float(box), periodic, nb, lanes,
+                                 float(visc_const), dma=True, sparse=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(k_act,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda bi, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, 16, lanes), soa_a.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_act, 8, lanes), soa_a.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(act_ids, params, soa_a, soa_b, src_zpad)
+
+
+def density_adaptive_blocks_sparse(
+    pos, vel, mass, hsml0, gas_mask, active, flags_e,
+    des_num_ngb: float, max_dev: float, box: float,
+    k_act: int, k_pack: int, cls,
+    min_hsml: float = 0.0, max_hsml=None,
+    periodic: bool = True, max_iters: int = 40,
+    interpret: bool = False,
+):
+    """Sparse counterpart of density_adaptive_blocks: pack, Newton
+    solve, kernel grid, and merge are ALL sized by the compacted
+    active/needed tile lists (k_act even targets, k_pack odd sources)
+    instead of B or N. The caller guarantees count(flags_e) <= k_act and
+    count(_needed_odd(flags_e)) <= k_pack (lax.cond to the dense path
+    otherwise). Inactive particles' outputs are zero — the caller keeps
+    their drift-predicted fields [G2: density.c active-list economy]."""
+    from gadget_leicester_tpu.ops.sph_dense import (DensityResult,
+                                                    density_adaptive_generic)
+
+    cl_e, cl_o = cls
+    ng = pos.shape[0]
+    nb = cl_e.n_cells
+    lanes = cl_e.cells.shape[1]
+
+    with jax.named_scope("density_sparse_pack"):
+        act_ids = jnp.nonzero(flags_e > 0, size=k_act,
+                              fill_value=-1)[0].astype(jnp.int32)
+        need_ids = jnp.nonzero(_needed_odd(flags_e > 0, nb, periodic),
+                               size=k_pack,
+                               fill_value=-1)[0].astype(jnp.int32)
+        ones = jnp.ones(ng, pos.dtype)
+        table = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], mass,
+                           vel[:, 0], vel[:, 1], vel[:, 2], ones], axis=1)
+        gm = lambda idx: gas_mask[idx]  # noqa: E731
+        soa_t, idx_a, valid_t = _sparse_target_pack(cl_e, act_ids, table, gm)
+        src_zpad = _sparse_odd_source(cl_o, need_ids, table, gm, nb,
+                                      periodic)
+        # solve only ACTIVE targets (dense path: valid &= active[idx])
+        valid_a = valid_t & active[idx_a]
+        mass_slots = soa_t[:, 3, :].reshape(-1)
+        mask_slots = valid_a.reshape(-1)
+        h0_slots = jnp.where(valid_a, hsml0[idx_a], 1.0).reshape(-1)
+
+    def sweep(h_slots, undone=None):
+        ids = act_ids
+        if undone is not None:
+            tile_undone = jnp.any(undone.reshape(k_act, lanes), axis=1)
+            ids = jnp.where(tile_undone, act_ids, -1)
+        out = density_sums_blocks_sparse(
+            cl_e, soa_t, h_slots.reshape(k_act, lanes), src_zpad, ids,
+            box, interpret=interpret)
+        rho = out[:, 0, :].reshape(-1)
+        drhodh = out[:, 1, :].reshape(-1)
+        divv = out[:, 2, :].reshape(-1)
+        rot = jnp.stack([out[:, 3, :].reshape(-1), out[:, 4, :].reshape(-1),
+                         out[:, 5, :].reshape(-1)], axis=-1)
+        return rho, drhodh, divv, rot
+
+    res_slots = density_adaptive_generic(
+        sweep, mass_slots, h0_slots, mask_slots, des_num_ngb, max_dev,
+        min_hsml=min_hsml, max_hsml=max_hsml, max_iters=max_iters)
+
+    with jax.named_scope("density_sparse_merge"):
+        flat_idx = jnp.where(mask_slots, idx_a.reshape(-1), ng)
+
+        def to_part(x_slots, fill=0.0):
+            return jnp.full((ng + 1,), fill, x_slots.dtype).at[flat_idx].set(
+                x_slots, mode="drop")[:ng]
+
+        return DensityResult(
+            rho=to_part(res_slots.rho),
+            dhsml_factor=to_part(res_slots.dhsml_factor, 1.0),
+            div_vel=to_part(res_slots.div_vel),
+            curl_vel=to_part(res_slots.curl_vel),
+            num_ngb_eff=to_part(res_slots.num_ngb_eff),
+            hsml=to_part(res_slots.hsml, 1.0),
+            iters=res_slots.iters,
+        )
+
+
+def hydro_force_blocks_sparse(
+    cls, pos, vel, mass, hsml, rho, pressure, dhsml_factor,
+    div_vel, curl_vel, gas_mask, flags_e, k_act: int, k_pack: int,
+    visc_const: float, box: float,
+    hubble_a2_flow=0.0, hubble_a2_norm=1.0, fac_mu=1.0,
+    interpret: bool = False,
+):
+    """Sparse counterpart of hydro_force_blocks (see
+    density_adaptive_blocks_sparse for the contract)."""
+    from gadget_leicester_tpu.core.config import GAMMA, GAMMA_MINUS1
+    from gadget_leicester_tpu.ops.sph_dense import HydroResult
+
+    cl_e, cl_o = cls
+    ng = pos.shape[0]
+    nb = cl_e.n_cells
+    periodic = cl_e.periodic
+    rho_safe = jnp.where(rho > 0, rho, 1.0)
+    c_snd = jnp.sqrt(GAMMA * pressure / rho_safe)
+    p_over_rho2 = pressure / rho_safe**2 * dhsml_factor
+    h_safe = jnp.where(hsml > 0, hsml, 1.0)
+    balsara = jnp.abs(div_vel) / (
+        jnp.abs(div_vel) + curl_vel + 1e-4 * c_snd / h_safe / fac_mu)
+
+    with jax.named_scope("hydro_sparse_pack"):
+        act_ids = jnp.nonzero(flags_e > 0, size=k_act,
+                              fill_value=-1)[0].astype(jnp.int32)
+        need_ids = jnp.nonzero(_needed_odd(flags_e > 0, nb, periodic),
+                               size=k_pack,
+                               fill_value=-1)[0].astype(jnp.int32)
+        table_a = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], mass,
+                             vel[:, 0], vel[:, 1], vel[:, 2], hsml], axis=1)
+        gmf = gas_mask.astype(pos.dtype)
+        zero = jnp.zeros_like(gmf)
+        table_b = jnp.stack([rho, p_over_rho2, c_snd, balsara, gmf,
+                             zero, zero, zero], axis=1)
+        gm = lambda idx: gas_mask[idx]  # noqa: E731
+        soa_a, idx_a, valid_a = _sparse_target_pack(cl_e, act_ids,
+                                                    table_a, gm)
+        # b-rows carry no positions: zero rows suffice for invalid slots
+        # (their valid column is 0 -> `inside` masks every pair)
+        cells_a = cl_e.cells[jnp.maximum(act_ids, 0)]
+        bidx = jnp.maximum(cells_a, 0)
+        brows = jnp.where(valid_a[:, :, None], table_b[bidx], 0.0)
+        soa_b = brows.transpose(0, 2, 1)
+        src_zpad = _sparse_odd_source(
+            cl_o, need_ids, jnp.concatenate([table_a, table_b], axis=1),
+            gm, nb, periodic)
+
+    out = hydro_sums_blocks_sparse(cl_e, soa_a, soa_b, src_zpad, act_ids,
+                                   box, visc_const, hubble_a2_flow, fac_mu,
+                                   interpret=interpret)
+
+    with jax.named_scope("hydro_sparse_merge"):
+        keep = (cells_a >= 0) & (act_ids >= 0)[:, None]
+        idxm = jnp.where(keep, bidx, ng).reshape(-1)
+
+        def sc(r):
+            return jnp.zeros((ng + 1,), out.dtype).at[idxm].set(
+                out[:, r, :].reshape(-1), mode="drop")[:ng]
+
+        acc = jnp.stack([sc(0), sc(1), sc(2)], axis=-1)
+        dt_raw, msv = sc(3), sc(4)
+    dt_ent = dt_raw * GAMMA_MINUS1 / (
+        jnp.asarray(hubble_a2_norm, rho.dtype) * rho_safe**GAMMA_MINUS1)
+    gmask = gas_mask
+    return HydroResult(
+        acc=jnp.where(gmask[:, None], acc, 0.0),
+        dt_entropy=jnp.where(gmask, dt_ent, 0.0),
+        max_signal_vel=jnp.where(gmask, msv, 0.0),
     )
