@@ -22,6 +22,14 @@ from gadget_leicester_tpu.core.config import (GAMMA_MINUS1, SimConfig,
 from gadget_leicester_tpu.core.state import SimState
 
 
+def _min_image(dx, cfg: SimConfig, opts: SimOptions):
+    """Periodic minimum-image displacement (no-op for vacuum runs)."""
+    if not opts.periodic or cfg.box_size <= 0:
+        return dx
+    box = cfg.box_size
+    return dx - box * jnp.round(dx / box)
+
+
 def register_sinks_from_types(state: SimState, sink_type: int = 5) -> SimState:
     """Mark all particles of `sink_type` as sinks (host-side setup helper)."""
     import numpy as np
@@ -49,8 +57,8 @@ def accrete_onto_sinks(state: SimState, cfg: SimConfig, opts: SimOptions) -> Sim
     s_vel = p.vel[s_idx]
     s_mass = p.mass[s_idx]
 
-    dx = s_pos[:, None, :] - p.pos[None, :ng, :]    # [S,Ng,3]
-    r2 = jnp.sum(dx * dx, axis=-1)
+    dx = _min_image(s_pos[:, None, :] - p.pos[None, :ng, :], cfg, opts)
+    r2 = jnp.sum(dx * dx, axis=-1)                  # [S,Ng]
     dv = s_vel[:, None, :] - p.vel[None, :ng, :]
     # criteria [Bate et al. 1995 style]: inside r_acc, approaching, bound
     inside = r2 < cfg.sink_accretion_radius**2
@@ -141,7 +149,7 @@ def create_sinks(state: SimState, cfg: SimConfig, opts: SimOptions) -> SimState:
     r_acc = jnp.asarray(cfg.sink_accretion_radius
                         if cfg.sink_accretion_radius > 0 else 0.0,
                         p.pos.dtype)
-    dxb = p.pos[:ng] - p.pos[best][None, :]
+    dxb = _min_image(p.pos[:ng] - p.pos[best][None, :], cfg, opts)
     r2b = jnp.sum(dxb * dxb, axis=-1)
     near = gas_mask & (r2b < r_acc * r_acc)
     near = near.at[best].set(False)

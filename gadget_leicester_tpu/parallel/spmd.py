@@ -28,8 +28,10 @@ all-gathers of particle sources):
   psum_scatter to slabs + pencil FFT + all_gather of the force mesh).
 * **Global control**: sync tick via pmin; PM rms-displacement via psum.
 
-Sinks are not yet supported under SPMD (their nearest-sink claim is a
-global argmin); make_spmd_step raises.
+* **Sinks**: formation elects a global winner (pmax + owner election);
+  accretion ships compacted sink blocks around the ring and returns
+  ghost-sink deltas to owners. The replicated registry keys by PID
+  (shard-local rows churn under migration).
 """
 
 from __future__ import annotations
@@ -42,7 +44,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gadget_leicester_tpu.core.config import GAMMA, SimConfig, SimOptions
+from gadget_leicester_tpu.core.config import (GAMMA, GAMMA_MINUS1,
+                                              SimConfig, SimOptions)
 from gadget_leicester_tpu.core.state import GasState, ParticleState, SimState
 from gadget_leicester_tpu.core import timeline
 from gadget_leicester_tpu.models import integrate
@@ -154,8 +157,19 @@ def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
         dhsml_density_factor=jnp.where(
             jnp.asarray(newg.hsml) > 0, newg.dhsml_density_factor, 1.0),
         hsml=jnp.maximum(newg.hsml, 1e-30))
+    # sink registry: canonical slots are ROW indices; rows churn under
+    # migration, so the slab layout keys the registry by PID instead
+    # (translated back by spmd_to_canonical)
+    sinks = state.sinks
+    slot = np.asarray(sinks.slot)
+    if np.any(slot >= 0):
+        pid = np.asarray(p.pid)
+        slot = np.where(slot >= 0, pid[np.maximum(slot, 0)], -1)
+        sinks = dataclasses.replace(
+            sinks, slot=jnp.asarray(slot.astype(np.int32)))
     # grid caches are layout-specific derived data — drop on re-layout
-    return (dataclasses.replace(state, p=newp, gas=newg, grids=None),
+    return (dataclasses.replace(state, p=newp, gas=newg, sinks=sinks,
+                                grids=None),
             (cap_g, cap_r), edges)
 
 
@@ -194,7 +208,18 @@ def spmd_to_canonical(state: SimState, cap_g: int, cap_r: int) -> SimState:
     newp = ParticleState(
         **{f: getattr(state.p, f)[order] for f in _P_FIELDS},
         alive=state.p.alive[order])
-    return dataclasses.replace(state, p=newp, grids=None)
+    # sink registry: slab layout keys by PID (see to_spmd) — translate
+    # back to canonical ROW indices
+    sinks = state.sinks
+    slot = np.asarray(sinks.slot)
+    if np.any(slot >= 0):
+        pid = np.asarray(newp.pid)
+        alive = np.asarray(newp.alive)
+        row_of = {int(q): r for r, q in enumerate(pid) if alive[r]}
+        slot = np.asarray([row_of.get(int(s), -1) if s >= 0 else -1
+                           for s in slot], np.int32)
+        sinks = dataclasses.replace(sinks, slot=jnp.asarray(slot))
+    return dataclasses.replace(state, p=newp, sinks=sinks, grids=None)
 
 
 def state_specs(state: SimState):
@@ -306,8 +331,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
     to_spmd (None = uniform) — cost-balanced decomposition bakes them as
     constants; repartitioning recompiles, exactly the cadence of the
     reference's occasional domain_Decomposition(). Requires periodic
-    TreePM (+SPH), every slab >= rcut and >= the SPH cell edge; sinks
-    unsupported."""
+    TreePM (+SPH), every slab >= rcut and >= the SPH cell edge."""
     from gadget_leicester_tpu.ops.pm import ASMTH, RCUT
 
     d = mesh.shape[AXIS]
@@ -317,8 +341,6 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
     edges = np.asarray(edges, np.float64)
     w_min = float(np.min(np.diff(edges)))
     edges_j = jnp.asarray(edges, jnp.float32)
-    if opts.sinks:
-        raise NotImplementedError("sinks under SPMD (global claim): not yet")
     if not (opts.periodic and opts.pmgrid > 0):
         raise NotImplementedError("SPMD step requires periodic TreePM")
     g_pm = opts.pmgrid
@@ -436,9 +458,20 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
             n_cells=(nx, nyz, nyz),
             capacity=cap_sr,
             periodic=(False, True, True))
-        acc_sr = shortrange_gravity_cells(
-            cl, cat_pos, cat_mass, cat_soft, cat_alive,
-            asmth_len, rcut, box=box, periodic=True, n_targets=p.n_max)
+        # sinks/Stamatellos consume the potential every sync point, so
+        # add the fresh short-range term in-step (the single-chip analog
+        # in forces._treepm_gravity) [G2: potential.c with PMGRID]
+        want_sr_pot = opts.sinks or opts.cooling == "stamatellos"
+        if want_sr_pot:
+            acc_sr, pot_sr = shortrange_gravity_cells(
+                cl, cat_pos, cat_mass, cat_soft, cat_alive,
+                asmth_len, rcut, box=box, periodic=True,
+                with_potential=True, n_targets=p.n_max)
+        else:
+            acc_sr = shortrange_gravity_cells(
+                cl, cat_pos, cat_mass, cat_soft, cat_alive,
+                asmth_len, rcut, box=box, periodic=True,
+                n_targets=p.n_max)
         flags = st.overflow_flags | jnp.where(
             cl.overflow | ovf, jnp.int32(1), jnp.int32(0))
 
@@ -446,13 +479,20 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         acc = jnp.where(active[:, None], acc, p.acc)
         acc = jnp.where(p.alive[:, None], acc, 0.0)
         acc_pm = jnp.where(p.alive[:, None], acc_pm, 0.0)
-        pot = pot * cfg.grav_internal
+        pot_pm_g = pot * cfg.grav_internal
+        if want_sr_pot:
+            # PM self-energy removal as in compute_potential
+            pot_full = (pot + pot_sr
+                        + p.mass / (jnp.sqrt(jnp.pi) * asmth_len)
+                        ) * cfg.grav_internal
+        else:
+            # without sink/cooling consumers the stored pot carries the
+            # PM piece only (diagnostics recompute on demand)
+            pot_full = pot_pm_g
         total = acc + acc_pm
         old_acc = jnp.sqrt(jnp.sum(total * total, axis=-1))
-        # sinks/Stamatellos are unsupported under SPMD, so the stored pot
-        # carries the PM piece only (diagnostics recompute on demand)
-        p = dataclasses.replace(p, acc=acc, acc_pm=acc_pm, pot=pot,
-                                pot_pm=pot, old_acc=old_acc)
+        p = dataclasses.replace(p, acc=acc, acc_pm=acc_pm, pot=pot_full,
+                                pot_pm=pot_pm_g, old_acc=old_acc)
         return dataclasses.replace(st, p=p, overflow_flags=flags), active
 
     def _sph(st, me, x0, x1, xc, active):
@@ -592,6 +632,167 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
             hydro_acc=hydro_acc, dt_entropy=dt_entropy, max_signal_vel=msv)
         return dataclasses.replace(st, gas=gas, overflow_flags=flags)
 
+    def _sinks(st, me):
+        """Sink formation + accretion under SPMD [SURVEY.md §2 fork rows;
+        the sink module's global claims become psum/ppermute collectives].
+
+        Sinks are identified by ptype==5 AND membership of the replicated
+        registry — ``sinks.slot`` holds PIDs in the slab layout (row
+        indices are shard-local and churn under migration; to_spmd /
+        spmd_to_canonical translate). Formation elects one global winner
+        via pmax + owner election; accretion ships each shard's compacted
+        sink block to both neighbours, computes claims against local gas,
+        and returns ghost-sink deltas to their owners — the
+        export-evaluate-return pattern [G2: gravtree.c] applied to
+        accretion. Gas is claimed exactly once (it is local to one shard
+        and killed there), so mass/momentum transfer is conservation-exact.
+        """
+        p, gas = st.p, st.gas
+        S = st.sinks.slot.shape[0]
+        ng = gas.n_gas_max
+        rho_safe = jnp.maximum(gas.density, 1e-30)
+        u_gas = gas.entropy_pred * rho_safe**GAMMA_MINUS1 / GAMMA_MINUS1
+        r_acc = jnp.asarray(cfg.sink_accretion_radius
+                            if cfg.sink_accretion_radius > 0 else 0.0,
+                            p.pos.dtype)
+
+        def mimg(dx):
+            return dx - box * jnp.round(dx / box)
+
+        # ---- formation (global densest-candidate pick) -----------------
+        if cfg.sink_formation_density > 0:
+            sinks = st.sinks
+            gas_mask = p.alive[:ng] & (p.ptype[:ng] == 0)
+            psi_mag = jnp.maximum(-p.pot[:ng], 1e-30)
+            cand = (gas_mask
+                    & (gas.density > cfg.sink_formation_density)
+                    & (gas.div_vel < 0.0)
+                    & (u_gas <= 0.5 * psi_mag))
+            rho_c = jnp.where(cand, gas.density, -1.0)
+            best_l = jnp.argmax(rho_c)
+            rho_l = rho_c[best_l]
+            rho_g = jax.lax.pmax(rho_l, AXIS)
+            any_cand = rho_g > 0.0
+            owner = jax.lax.pmin(
+                jnp.where(rho_l == rho_g, me, jnp.int32(d)), AXIS)
+            is_owner = (me == owner) & any_cand
+            bpos = jax.lax.psum(
+                jnp.where(is_owner, p.pos[best_l],
+                          jnp.zeros((3,), p.pos.dtype)), AXIS)
+            bpot = jax.lax.psum(
+                jnp.where(is_owner, p.pot[best_l],
+                          jnp.zeros((), p.pot.dtype)), AXIS)
+            dxb = mimg(p.pos[:ng] - bpos[None, :])
+            r2b = jnp.sum(dxb * dxb, axis=-1)
+            near = gas_mask & (r2b < r_acc * r_acc)
+            near = near & ~(is_owner & (jnp.arange(ng) == best_l))
+            deeper = jnp.sum((near & (p.pot[:ng] < bpot)).astype(jnp.int32))
+            any_deeper = jax.lax.psum(deeper, AXIS) > 0
+            free = sinks.slot < 0
+            has_free = jnp.any(free)
+            free_slot = jnp.argmax(free)
+            do_form = any_cand & ~any_deeper & has_free
+            ptype = p.ptype.at[best_l].set(
+                jnp.where(do_form & is_owner, jnp.int32(5),
+                          p.ptype[best_l]))
+            new_pid = jax.lax.psum(
+                jnp.where(do_form & is_owner, p.pid[best_l],
+                          jnp.zeros((), p.pid.dtype)), AXIS)
+            slot = sinks.slot.at[free_slot].set(
+                jnp.where(do_form, new_pid.astype(sinks.slot.dtype),
+                          sinks.slot[free_slot]))
+            p = dataclasses.replace(p, ptype=ptype)
+            st = dataclasses.replace(
+                st, p=p, sinks=dataclasses.replace(sinks, slot=slot))
+
+        # ---- accretion (export-evaluate-return over the sink ring) -----
+        if cfg.sink_accretion_radius > 0:
+            p, sinks = st.p, st.sinks
+            gas_mask = p.alive[:ng] & (p.ptype[:ng] == 0)
+            # registered sinks only (parity with the single-chip registry)
+            in_reg = jnp.any(
+                (p.pid[:, None] == sinks.slot[None, :].astype(p.pid.dtype))
+                & (sinks.slot[None, :] >= 0), axis=1)
+            sink_mask = p.alive & (p.ptype == 5) & in_reg
+            idx_s = jnp.nonzero(sink_mask, size=S,
+                                fill_value=-1)[0].astype(jnp.int32)
+            valid_s = idx_s >= 0
+            iS = jnp.maximum(idx_s, 0)
+            spos = jnp.where(valid_s[:, None], p.pos[iS], 0.0)
+            svel = jnp.where(valid_s[:, None], p.vel[iS], 0.0)
+            smass = jnp.where(valid_s, p.mass[iS], 0.0)
+            spid = jnp.where(valid_s, p.pid[iS],
+                             jnp.asarray(-1, p.pid.dtype))
+            ovf_s = jnp.sum(sink_mask) > S
+
+            bufs = [spos, svel, smass, valid_s.astype(jnp.int32)]
+            from_l = _ring(bufs, +1, d)
+            from_r = _ring(bufs, -1, d)
+            cpos = jnp.concatenate([spos, from_l[0], from_r[0]])
+            cvel = jnp.concatenate([svel, from_l[1], from_r[1]])
+            cmass = jnp.concatenate([smass, from_l[2], from_r[2]])
+            cvalid = jnp.concatenate([valid_s, from_l[3] > 0,
+                                      from_r[3] > 0])
+
+            dx = mimg(cpos[:, None, :] - p.pos[None, :ng, :])  # [3S,ng,3]
+            r2 = jnp.sum(dx * dx, axis=-1)
+            dv = cvel[:, None, :] - p.vel[None, :ng, :]
+            inside = r2 < r_acc * r_acc
+            approaching = jnp.sum(dv * dx, axis=-1) < 0
+            v2 = jnp.sum(dv * dv, axis=-1)
+            eps5 = cfg.softenings[5]
+            r_soft = jnp.sqrt(r2 + eps5 * eps5)
+            bound = (0.5 * v2 + u_gas[None, :]
+                     < cfg.grav_internal * cmass[:, None] / r_soft)
+            take = (inside & approaching & bound
+                    & gas_mask[None, :] & cvalid[:, None])
+            # nearest claiming sink only; ring duplicates (d<=2) lose the
+            # argmin tie to the identical local row, so their deltas are 0
+            r2m = jnp.where(take, r2, jnp.asarray(1e30, r2.dtype))
+            winner = jnp.argmin(r2m, axis=0)
+            any_take = jnp.any(take, axis=0)
+            claim = ((jnp.arange(3 * S)[:, None] == winner[None, :])
+                     & any_take[None, :])
+            m_g = jnp.where(gas_mask, p.mass[:ng], 0.0)
+            wm = jnp.where(claim, m_g[None, :], 0.0)
+            dm = jnp.sum(wm, axis=1)                        # [3S]
+            dp = jnp.einsum("sn,nc->sc", wm, p.vel[:ng])    # [3S,3]
+            n_acc = jnp.sum(claim, axis=1).astype(jnp.int32)
+
+            # deltas for ghost sinks travel back to their owner shard
+            ret_r = _ring([dm[S:2 * S], dp[S:2 * S], n_acc[S:2 * S]],
+                          -1, d)
+            ret_l = _ring([dm[2 * S:], dp[2 * S:], n_acc[2 * S:]], +1, d)
+            dm_t = dm[:S] + ret_r[0] + ret_l[0]
+            dp_t = dp[:S] + ret_r[1] + ret_l[1]
+            n_t = n_acc[:S] + ret_r[2] + ret_l[2]
+
+            new_mass = smass + dm_t
+            new_vel = (smass[:, None] * svel + dp_t) / jnp.maximum(
+                new_mass, 1e-30)[:, None]
+            put = jnp.where(valid_s, iS, jnp.int32(p.n_max))
+            mass_u = p.mass.at[put].set(new_mass, mode="drop")
+            vel_u = p.vel.at[put].set(new_vel, mode="drop")
+            alive = p.alive.at[:ng].set(p.alive[:ng] & ~any_take)
+
+            # replicated registry tallies: each sink is owned by exactly
+            # one shard, so the psum of per-shard contributions is exact
+            match = ((sinks.slot[:, None].astype(p.pid.dtype)
+                      == spid[None, :])
+                     & valid_s[None, :] & (sinks.slot[:, None] >= 0))
+            acc_mass_c = jax.lax.psum(
+                match.astype(dm_t.dtype) @ dm_t, AXIS)
+            n_acc_c = jax.lax.psum(match.astype(jnp.int32) @ n_t, AXIS)
+            sinks = dataclasses.replace(
+                sinks, acc_mass=sinks.acc_mass + acc_mass_c,
+                n_accreted=sinks.n_accreted + n_acc_c)
+            p = dataclasses.replace(p, mass=mass_u, vel=vel_u, alive=alive)
+            flags = st.overflow_flags | jnp.where(
+                ovf_s, jnp.int32(8), jnp.int32(0))
+            st = dataclasses.replace(st, p=p, sinks=sinks,
+                                     overflow_flags=flags)
+        return st
+
     def local_step(st: SimState) -> SimState:
         me = jax.lax.axis_index(AXIS)
         x0 = edges_j[me]
@@ -612,6 +813,8 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         if opts.cooling != "none":
             from gadget_leicester_tpu.models.cooling import apply_cooling
             st = apply_cooling(st, cfg, opts)
+        if opts.sinks:
+            st = _sinks(st, me)
         st = integrate.advance_and_find_timesteps(st, cfg, opts)
         st = integrate.pm_step_update(st, cfg, opts, is_pm_step,
                                       axis_name=AXIS)
