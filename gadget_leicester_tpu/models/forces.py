@@ -15,6 +15,7 @@ All.G at the end].
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -267,21 +268,46 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
             k_pack = max(512, c3 // 8)
             sparse_ok = ((jnp.sum(flags) <= k_act)
                          & (jnp.sum(needed) <= k_pack))
+            # per-PARTICLE compacted tier: real late-time activity is
+            # SPREAD (measured 0.68% active -> 58% of tiles touched),
+            # so tile granularity can't win — evaluate the few active
+            # targets directly against the cached grid's 27-stencils
+            # [G2: gravtree.c walks only the active list]
+            n_act = jnp.sum(active & p.alive)
+            k_ids = max(2048, p.n_max // 64)
+            ids_ok = n_act <= k_ids
 
-            def _sparse(_):
-                return shortrange_gravity_pallas_dma9_sparse(
-                    p.pos, p.mass, soft, p.alive, float(box),
-                    n_cells=n_cells, capacity=cap, flags=flags,
-                    needed=needed, k_act=k_act, k_pack=k_pack, cl=cl,
-                    periodic=True, **kw)
+            def _compact(_):
+                from gadget_leicester_tpu.ops.gravity_short import \
+                    shortrange_gravity_cells_ids
+                ids = jnp.nonzero(active & p.alive, size=k_ids,
+                                  fill_value=-1)[0].astype(jnp.int32)
+                out = shortrange_gravity_cells_ids(
+                    cl, p.pos, p.mass, soft, p.alive, ids,
+                    asmth_len, rcut, box=box, periodic=True,
+                    with_potential=with_pot)
+                if with_pot:
+                    return out[0], out[1], cl.overflow
+                return out, cl.overflow
 
-            def _dense(_):
-                return shortrange_gravity_pallas_dma9(
-                    p.pos, p.mass, soft, p.alive, float(box),
-                    n_cells=n_cells, capacity=cap, periodic=True,
-                    active=None, cl=cl, flags=flags, **kw)
+            def _tiled(_):
+                def _sparse(_):
+                    return shortrange_gravity_pallas_dma9_sparse(
+                        p.pos, p.mass, soft, p.alive, float(box),
+                        n_cells=n_cells, capacity=cap, flags=flags,
+                        needed=needed, k_act=k_act, k_pack=k_pack, cl=cl,
+                        periodic=True, **kw)
 
-            res = jax.lax.cond(sparse_ok, _sparse, _dense, operand=None)
+                def _dense(_):
+                    return shortrange_gravity_pallas_dma9(
+                        p.pos, p.mass, soft, p.alive, float(box),
+                        n_cells=n_cells, capacity=cap, periodic=True,
+                        active=None, cl=cl, flags=flags, **kw)
+
+                return jax.lax.cond(sparse_ok, _sparse, _dense,
+                                    operand=None)
+
+            res = jax.lax.cond(ids_ok, _compact, _tiled, operand=None)
         if with_pot:
             acc_sr, pot_sr, overflow = res
         else:
@@ -633,7 +659,10 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
         if use_pallas:
             from gadget_leicester_tpu.ops.sph_blocks import (
                 _needed_odd, density_adaptive_blocks_sparse,
-                hydro_force_blocks_sparse, sph_block_flags)
+                fine_candidate_indices, hydro_force_blocks_sparse,
+                sph_block_flags)
+            from gadget_leicester_tpu.ops.sph_cells import (
+                density_adaptive_cells_ids, hydro_force_cells_ids)
             b3 = n_blocks ** 3
             b_o = cls_in[1].cells.shape[0]
             flags_e = sph_block_flags(cls_in[0], active_g)
@@ -642,6 +671,15 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
             k_pack = min(b_o, max(256, b_o // 8))
             sparse_ok = ((jnp.sum(flags_e) <= k_act)
                          & (jnp.sum(needed_o) <= k_pack))
+            # per-PARTICLE compacted tier (outermost): real late-time
+            # activity is spread across most blocks, so tile granularity
+            # can't win — solve the few active targets directly against
+            # the block list's embedded FINE cells
+            # [G2: density.c — only the active list gets fresh sums]
+            n_act_g = jnp.sum(active_g)
+            k_gids = max(2048, ng // 64)
+            gids_ok = n_act_g <= k_gids
+            cands_fn = partial(fine_candidate_indices, cls_in[0])
             sph_sparse = (flags_e, k_act, k_pack, sparse_ok)
         with jax.named_scope("density"):
             if sph_sparse is not None:
@@ -660,8 +698,18 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
                         active, flags_e, k_act=k_act, k_pack=k_pack,
                         cls=cls_in, interpret=False, **dkw)
 
-                dres = jax.lax.cond(sparse_ok, _sparse_d, _dense_d,
-                                    operand=None)
+                def _compact_d(_):
+                    gids = jnp.nonzero(active_g, size=k_gids,
+                                       fill_value=-1)[0].astype(jnp.int32)
+                    return density_adaptive_cells_ids(
+                        cls_in[0], pos_g, gas.vel_pred, mass_g, hsml_in,
+                        gas_mask, gids, candidates_fn=cands_fn, **dkw)
+
+                dres = jax.lax.cond(
+                    gids_ok, _compact_d,
+                    lambda _: jax.lax.cond(sparse_ok, _sparse_d, _dense_d,
+                                           operand=None),
+                    operand=None)
                 cls_sph = cls_in
             else:
                 dres, cls_sph = density_adaptive_blocks(
@@ -806,8 +854,21 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
                         dres.div_vel, dres.curl_vel, gas_mask, flags_e,
                         k_act=k_act, k_pack=k_pack, interpret=False, **hkw)
 
-                hres = jax.lax.cond(sparse_ok, _sparse_h, _dense_h,
-                                    operand=None)
+                def _compact_h(_):
+                    gids = jnp.nonzero(active_g, size=k_gids,
+                                       fill_value=-1)[0].astype(jnp.int32)
+                    return hydro_force_cells_ids(
+                        cls_sph[0], pos_g, gas.vel_pred, mass_g,
+                        dres.hsml, dres.rho, pressure, dres.dhsml_factor,
+                        dres.div_vel, dres.curl_vel, gas_mask, gids,
+                        periodic=opts.periodic, candidates_fn=cands_fn,
+                        **hkw)
+
+                hres = jax.lax.cond(
+                    gids_ok, _compact_h,
+                    lambda _: jax.lax.cond(sparse_ok, _sparse_h, _dense_h,
+                                           operand=None),
+                    operand=None)
             else:
                 hres = hydro_force_blocks(
                     cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml,

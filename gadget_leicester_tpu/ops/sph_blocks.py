@@ -114,6 +114,43 @@ def build_block_lists(pos, mask, origin, extent, n_blocks: int,
     return mk(cells_e[:n_e], nb), mk(cells_o[:n_o], nb_o)
 
 
+def fine_candidate_indices(cl_e: CellList, target_pos):
+    """[T, 27*subcap] candidate particle rows for arbitrary target
+    positions, sourced from the even block list's FINE cells: the lane
+    layout lane = subcell*subcap + rank (build_block_lists) means fine
+    cell (block b, subcell s) is the contiguous row b*8+s of
+    cells.reshape(nb^3*8, subcap) — so the block packing doubles as a
+    fine cell list for compacted-active sweeps."""
+    nb = cl_e.n_cells
+    m = 2 * nb
+    lanes = cl_e.cells.shape[1]
+    subcap = lanes // 8
+    rel = (target_pos - cl_e.origin) * cl_e.inv_cell
+    coords = jnp.floor(rel).astype(jnp.int32)
+    if cl_e.periodic:
+        coords = jnp.mod(coords, m)
+    else:
+        coords = jnp.clip(coords, 0, m - 1)
+    offs = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), -1
+    ).reshape(27, 3)
+    c = coords[:, None, :] + offs                    # [T,27,3]
+    if cl_e.periodic:
+        c = jnp.mod(c, m)
+        valid = jnp.ones(c.shape[:-1], bool)
+    else:
+        valid = jnp.all((c >= 0) & (c < m), axis=-1)
+        c = jnp.clip(c, 0, m - 1)
+    b = c >> 1
+    s = c & 1
+    bid = (b[..., 0] * nb + b[..., 1]) * nb + b[..., 2]
+    sub = (s[..., 0] * 2 + s[..., 1]) * 2 + s[..., 2]
+    table = cl_e.cells.reshape(nb ** 3 * 8, subcap)
+    cand = table[bid * 8 + sub]                      # [T,27,subcap]
+    cand = jnp.where(valid[..., None], cand, -1)
+    return cand.reshape(target_pos.shape[0], -1)
+
+
 def _needed_odd(flags_e, nb: int, periodic: bool):
     """[B] even-tile activity flags -> [Bo] bool mask of odd blocks that
     any active even tile reads: even target b streams odd sources b+g,
