@@ -307,7 +307,10 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
                 return jax.lax.cond(sparse_ok, _sparse, _dense,
                                     operand=None)
 
-            res = jax.lax.cond(ids_ok, _compact, _tiled, operand=None)
+            # per-particle tier is opt-in (opts.compact_ids): unshared
+            # per-target gathers lose badly to the gated tile path on TPU
+            res = (jax.lax.cond(ids_ok, _compact, _tiled, operand=None)
+                   if opts.compact_ids else _tiled(None))
         if with_pot:
             acc_sr, pot_sr, overflow = res
         else:
@@ -705,11 +708,11 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
                         cls_in[0], pos_g, gas.vel_pred, mass_g, hsml_in,
                         gas_mask, gids, candidates_fn=cands_fn, **dkw)
 
-                dres = jax.lax.cond(
-                    gids_ok, _compact_d,
-                    lambda _: jax.lax.cond(sparse_ok, _sparse_d, _dense_d,
-                                           operand=None),
-                    operand=None)
+                _tiled_d = lambda _: jax.lax.cond(
+                    sparse_ok, _sparse_d, _dense_d, operand=None)
+                dres = (jax.lax.cond(gids_ok, _compact_d, _tiled_d,
+                                     operand=None)
+                        if opts.compact_ids else _tiled_d(None))
                 cls_sph = cls_in
             else:
                 dres, cls_sph = density_adaptive_blocks(
@@ -864,11 +867,11 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
                         periodic=opts.periodic, candidates_fn=cands_fn,
                         **hkw)
 
-                hres = jax.lax.cond(
-                    gids_ok, _compact_h,
-                    lambda _: jax.lax.cond(sparse_ok, _sparse_h, _dense_h,
-                                           operand=None),
-                    operand=None)
+                _tiled_h = lambda _: jax.lax.cond(
+                    sparse_ok, _sparse_h, _dense_h, operand=None)
+                hres = (jax.lax.cond(gids_ok, _compact_h, _tiled_h,
+                                     operand=None)
+                        if opts.compact_ids else _tiled_h(None))
             else:
                 hres = hydro_force_blocks(
                     cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml,
