@@ -82,17 +82,6 @@ class SimOptions:
     hr_pmgrid: int = 0                   # fine zoom mesh (0 = pmgrid)
     use_pallas: str = "auto"             # "auto"|"on"|"off" — Pallas kernels
                                          # ("auto": on for TPU backends)
-    compact_ids: bool = False            # per-particle compacted-active force
-                                         # tier for nearly-idle sync points
-                                         # [G2: gravtree.c active list]. OFF
-                                         # by default: each target carries its
-                                         # own 27-cell stencil, so the source
-                                         # gather is unshared — measured 9.6x
-                                         # SLOWER than the gated tile path on
-                                         # TPU v5e (3.6 s vs 215 ms at 0.3%
-                                         # active, 64^3). Useful on CPU/small
-                                         # N; TPU needs a cell-sorted Pallas
-                                         # variant before this can win.
     output_potential: bool = False       # -DOUTPUTPOTENTIAL: POT snapshot block
     spmd_ghost_frac: float = 0.0         # SPMD ghost-buffer size as a chunk
                                          # fraction (0 = auto from the

@@ -15,7 +15,6 @@ All.G at the end].
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -247,8 +246,9 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
     pot_sr = None
     if use_pallas:
         from gadget_leicester_tpu.ops.pallas_cells import (
-            dilate_flags, grav_tile_flags, shortrange_gravity_pallas_dma9,
-            shortrange_gravity_pallas_dma9_sparse)
+            ENTRY_LANES, build_active_entries, count_active_entries,
+            grav_tile_flags, shortrange_gravity_pallas_dma9,
+            shortrange_gravity_pallas_entries)
         kw = dict(asmth=float(asmth_len), rcut=float(rcut),
                   with_potential=with_pot)
         if active is None:
@@ -256,61 +256,37 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
                 p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,
                 capacity=cap, periodic=True, active=None, cl=cl, **kw)
         else:
-            # nearly-idle sync points take an O(active-tiles) path: pack,
-            # kernel grid, and merge are all sized by two compacted tile
-            # lists instead of N [G2: timestep.c — work follows the
-            # active list]. The dense path remains for busy steps; both
-            # share the scatter-built tile-activity flags.
+            # nearly-idle sync points take the cell-compacted active-ENTRY
+            # path (docs/compact_active_design.md): per-particle
+            # granularity via <= lanes active targets per kernel step, one
+            # shared stencil DMA per entry — measured 8.2x the gated dense
+            # kernel at 0.68% spread activity [G2: gravtree.c walks only
+            # the active list]. Busy steps fall back to the flag-gated
+            # dense kernel (the O(N) workhorse).
             c3 = n_cells ** 3
-            flags = grav_tile_flags(cl, active, n_cells)
-            needed = dilate_flags(flags > 0, n_cells, True)
-            k_act = max(128, c3 // 32)
-            k_pack = max(512, c3 // 8)
-            sparse_ok = ((jnp.sum(flags) <= k_act)
-                         & (jnp.sum(needed) <= k_pack))
-            # per-PARTICLE compacted tier: real late-time activity is
-            # SPREAD (measured 0.68% active -> 58% of tiles touched),
-            # so tile granularity can't win — evaluate the few active
-            # targets directly against the cached grid's 27-stencils
-            # [G2: gravtree.c walks only the active list]
-            n_act = jnp.sum(active & p.alive)
-            k_ids = max(2048, p.n_max // 64)
-            ids_ok = n_act <= k_ids
+            # sized for the measured ~1%-active structure (entries can
+            # exceed the active-cell count via lane spill); padding-tail
+            # grid steps are ~0.3 us no-ops, so oversizing is cheap
+            k_max = max(256, (3 * c3) // 2)
+            total = count_active_entries(cl, active, ENTRY_LANES)
+            entries_ok = total <= k_max
 
-            def _compact(_):
-                from gadget_leicester_tpu.ops.gravity_short import \
-                    shortrange_gravity_cells_ids
-                ids = jnp.nonzero(active & p.alive, size=k_ids,
-                                  fill_value=-1)[0].astype(jnp.int32)
-                out = shortrange_gravity_cells_ids(
-                    cl, p.pos, p.mass, soft, p.alive, ids,
-                    asmth_len, rcut, box=box, periodic=True,
-                    with_potential=with_pot)
-                if with_pot:
-                    return out[0], out[1], cl.overflow
-                return out, cl.overflow
+            def _entries(_):
+                ec, es, _ = build_active_entries(cl, active, ENTRY_LANES,
+                                                 k_max)
+                return shortrange_gravity_pallas_entries(
+                    p.pos, p.mass, soft, p.alive, float(box),
+                    n_cells=n_cells, capacity=cap, entry_cell=ec,
+                    entry_slot=es, cl=cl, periodic=True, **kw)
 
-            def _tiled(_):
-                def _sparse(_):
-                    return shortrange_gravity_pallas_dma9_sparse(
-                        p.pos, p.mass, soft, p.alive, float(box),
-                        n_cells=n_cells, capacity=cap, flags=flags,
-                        needed=needed, k_act=k_act, k_pack=k_pack, cl=cl,
-                        periodic=True, **kw)
+            def _dense(_):
+                flags = grav_tile_flags(cl, active, n_cells)
+                return shortrange_gravity_pallas_dma9(
+                    p.pos, p.mass, soft, p.alive, float(box),
+                    n_cells=n_cells, capacity=cap, periodic=True,
+                    active=None, cl=cl, flags=flags, **kw)
 
-                def _dense(_):
-                    return shortrange_gravity_pallas_dma9(
-                        p.pos, p.mass, soft, p.alive, float(box),
-                        n_cells=n_cells, capacity=cap, periodic=True,
-                        active=None, cl=cl, flags=flags, **kw)
-
-                return jax.lax.cond(sparse_ok, _sparse, _dense,
-                                    operand=None)
-
-            # per-particle tier is opt-in (opts.compact_ids): unshared
-            # per-target gathers lose badly to the gated tile path on TPU
-            res = (jax.lax.cond(ids_ok, _compact, _tiled, operand=None)
-                   if opts.compact_ids else _tiled(None))
+            res = jax.lax.cond(entries_ok, _entries, _dense, operand=None)
         if with_pot:
             acc_sr, pot_sr, overflow = res
         else:
@@ -655,38 +631,27 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
                    max_dev=cfg.max_num_ngb_deviation,
                    box=box_v, min_hsml=min_hsml, max_hsml=max_hsml,
                    periodic=opts.periodic)
-        # nearly-idle sync points take the compacted-tile SPH path (see
-        # the gravity analog in _treepm_gravity): pack/solve/merge sized
-        # by active tiles, not B or N [G2: density.c active-list economy]
-        sph_sparse = None
+        # nearly-idle sync points take the cell-compacted active-ENTRY
+        # SPH path (docs/compact_active_design.md, the gravity analog in
+        # _treepm_gravity): <= ENTRY_LANES active targets per kernel
+        # step, the 8 odd source blocks as ONE strided DMA
+        # [G2: density.c — only the active list gets fresh sums]
+        sph_entries = None
         if use_pallas:
+            from gadget_leicester_tpu.ops.pallas_cells import (
+                ENTRY_LANES, build_active_entries)
             from gadget_leicester_tpu.ops.sph_blocks import (
-                _needed_odd, density_adaptive_blocks_sparse,
-                fine_candidate_indices, hydro_force_blocks_sparse,
-                sph_block_flags)
-            from gadget_leicester_tpu.ops.sph_cells import (
-                density_adaptive_cells_ids, hydro_force_cells_ids)
+                count_block_entries, density_adaptive_blocks_entries,
+                hydro_force_blocks_entries)
             b3 = n_blocks ** 3
-            b_o = cls_in[1].cells.shape[0]
-            flags_e = sph_block_flags(cls_in[0], active_g)
-            needed_o = _needed_odd(flags_e > 0, n_blocks, opts.periodic)
-            k_act = min(b3, max(64, b3 // 32))
-            k_pack = min(b_o, max(256, b_o // 8))
-            sparse_ok = ((jnp.sum(flags_e) <= k_act)
-                         & (jnp.sum(needed_o) <= k_pack))
-            # per-PARTICLE compacted tier (outermost): real late-time
-            # activity is spread across most blocks, so tile granularity
-            # can't win — solve the few active targets directly against
-            # the block list's embedded FINE cells
-            # [G2: density.c — only the active list gets fresh sums]
-            n_act_g = jnp.sum(active_g)
-            k_gids = max(2048, ng // 64)
-            gids_ok = n_act_g <= k_gids
-            cands_fn = partial(fine_candidate_indices, cls_in[0])
-            sph_sparse = (flags_e, k_act, k_pack, sparse_ok)
+            k_max_sph = 2 * b3
+            total_e = count_block_entries(cls_in[0], active_g, ENTRY_LANES)
+            entries_ok = total_e <= k_max_sph
+            sph_entries = (entries_ok, k_max_sph, ENTRY_LANES,
+                           build_active_entries)
         with jax.named_scope("density"):
-            if sph_sparse is not None:
-                flags_e, k_act, k_pack, sparse_ok = sph_sparse
+            if sph_entries is not None:
+                entries_ok, k_max_sph, _lanes, _bae = sph_entries
 
                 def _dense_d(_):
                     dres, _cls = density_adaptive_blocks(
@@ -695,24 +660,16 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
                         interpret=False, active=active, cls=cls_in, **dkw)
                     return dres
 
-                def _sparse_d(_):
-                    return density_adaptive_blocks_sparse(
+                def _entries_d(_):
+                    ec, es, _ = _bae(cls_in[0], active_g, _lanes,
+                                     k_max_sph)
+                    dekw = {k: v for k, v in dkw.items()}
+                    return density_adaptive_blocks_entries(
                         pos_g, gas.vel_pred, mass_g, hsml_in, gas_mask,
-                        active, flags_e, k_act=k_act, k_pack=k_pack,
-                        cls=cls_in, interpret=False, **dkw)
+                        ec, es, cls=cls_in, interpret=False, **dekw)
 
-                def _compact_d(_):
-                    gids = jnp.nonzero(active_g, size=k_gids,
-                                       fill_value=-1)[0].astype(jnp.int32)
-                    return density_adaptive_cells_ids(
-                        cls_in[0], pos_g, gas.vel_pred, mass_g, hsml_in,
-                        gas_mask, gids, candidates_fn=cands_fn, **dkw)
-
-                _tiled_d = lambda _: jax.lax.cond(
-                    sparse_ok, _sparse_d, _dense_d, operand=None)
-                dres = (jax.lax.cond(gids_ok, _compact_d, _tiled_d,
-                                     operand=None)
-                        if opts.compact_ids else _tiled_d(None))
+                dres = jax.lax.cond(entries_ok, _entries_d, _dense_d,
+                                    operand=None)
                 cls_sph = cls_in
             else:
                 dres, cls_sph = density_adaptive_blocks(
@@ -840,8 +797,8 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
                    hubble_a2_norm=fac.hubble_a2_norm,
                    fac_mu=fac.fac_mu)
         with jax.named_scope("hydro"):
-            if sph_sparse is not None:
-                flags_e, k_act, k_pack, sparse_ok = sph_sparse
+            if sph_entries is not None:
+                entries_ok, k_max_sph, _lanes, _bae = sph_entries
 
                 def _dense_h(_):
                     return hydro_force_blocks(
@@ -850,28 +807,17 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
                         dres.div_vel, dres.curl_vel, gas_mask,
                         interpret=False, active=active, **hkw)
 
-                def _sparse_h(_):
-                    return hydro_force_blocks_sparse(
+                def _entries_h(_):
+                    ec, es, _ = _bae(cls_sph[0], active_g, _lanes,
+                                     k_max_sph)
+                    return hydro_force_blocks_entries(
                         cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml,
                         dres.rho, pressure, dres.dhsml_factor,
-                        dres.div_vel, dres.curl_vel, gas_mask, flags_e,
-                        k_act=k_act, k_pack=k_pack, interpret=False, **hkw)
+                        dres.div_vel, dres.curl_vel, gas_mask, ec, es,
+                        interpret=False, **hkw)
 
-                def _compact_h(_):
-                    gids = jnp.nonzero(active_g, size=k_gids,
-                                       fill_value=-1)[0].astype(jnp.int32)
-                    return hydro_force_cells_ids(
-                        cls_sph[0], pos_g, gas.vel_pred, mass_g,
-                        dres.hsml, dres.rho, pressure, dres.dhsml_factor,
-                        dres.div_vel, dres.curl_vel, gas_mask, gids,
-                        periodic=opts.periodic, candidates_fn=cands_fn,
-                        **hkw)
-
-                _tiled_h = lambda _: jax.lax.cond(
-                    sparse_ok, _sparse_h, _dense_h, operand=None)
-                hres = (jax.lax.cond(gids_ok, _compact_h, _tiled_h,
-                                     operand=None)
-                        if opts.compact_ids else _tiled_h(None))
+                hres = jax.lax.cond(entries_ok, _entries_h, _dense_h,
+                                    operand=None)
             else:
                 hres = hydro_force_blocks(
                     cls_sph, pos_g, gas.vel_pred, mass_g, dres.hsml,

@@ -81,64 +81,3 @@ def shortrange_gravity_cells(
     (acc,) = apply_pairwise(cl, pos, pair_fn, block=block,
                             n_targets=n_targets)
     return jnp.where(alive[:nt, None], acc, 0.0)
-
-
-def shortrange_gravity_cells_ids(
-    cl: CellList,
-    pos,
-    mass,
-    soft,
-    alive,
-    ids,
-    asmth: float,
-    rcut: float,
-    box: float = 0.0,
-    block: int = 256,
-    periodic: bool = True,
-    with_potential: bool = False,
-):
-    """Compacted-active variant of :func:`shortrange_gravity_cells`:
-    evaluate ONLY the ``ids`` rows (-1 padded) as targets against the
-    full cell list, then scatter into [N]-sized outputs (zeros
-    elsewhere). Cost scales with the ACTIVE count, not the tile count —
-    the per-particle economy for nearly-idle sync points
-    [G2: gravtree.c evaluates the active list only]."""
-    from gadget_leicester_tpu.ops.gravity_direct import shortrange_trunc_pot
-    from gadget_leicester_tpu.ops.neighbors import apply_pairwise_ids
-    from gadget_leicester_tpu.ops.softening import grav_pot
-    src_mass = jnp.where(alive, mass, 0.0)
-
-    def pair_fn(idx, slots, tp, cand):
-        ts = soft[idx]
-        valid = cand >= 0
-        ci = jnp.maximum(cand, 0)
-        sp = pos[ci]
-        sm = jnp.where(valid, src_mass[ci], 0.0)
-        dx = tp[:, None, :] - sp
-        if periodic:
-            dx = _min_image(dx, box)
-        r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
-        h = jnp.maximum(ts[:, None], soft[ci])
-        fac = grav_fac(r, h) * shortrange_trunc(r, asmth)
-        fac = jnp.where(r < rcut, fac, 0.0)
-        w = sm * fac
-        acc = -jnp.einsum("bc,bcd->bd", w, dx)
-        if with_potential:
-            pw = grav_pot(r, h) * shortrange_trunc_pot(r, asmth)
-            pw = jnp.where((r < rcut) & (r > 0), pw, 0.0)
-            return (acc, jnp.sum(sm * pw, axis=-1))
-        return (acc,)
-
-    n = pos.shape[0]
-    put = jnp.where(ids >= 0, ids, n)
-    keep = (ids >= 0) & alive[jnp.maximum(ids, 0)]
-
-    def scatter(x, width=None):
-        shape = (n + 1,) + x.shape[1:]
-        xm = jnp.where(keep.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0)
-        return jnp.zeros(shape, x.dtype).at[put].set(xm, mode="drop")[:n]
-
-    out = apply_pairwise_ids(cl, pos, ids, pair_fn, block=block)
-    if with_potential:
-        return scatter(out[0]), scatter(out[1])
-    return scatter(out[0])

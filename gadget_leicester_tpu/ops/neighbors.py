@@ -202,39 +202,3 @@ def _apply_pairwise(
     )
 
 
-def apply_pairwise_ids(cl, pos, ids, pair_fn, block: int = 256,
-                       candidates_fn=None):
-    """Compacted-target blocked driver — the per-particle active-set
-    economy for nearly-idle sync points [G2: gravtree.c / density.c
-    evaluate ONLY the active list; the dense tile kernels instead pay for
-    every tile that contains one active particle].
-
-    ``ids``: [K] global target rows (-1 = padding). For each block,
-    ``pair_fn(gidx, slots, tp, cand)`` receives the clipped global rows,
-    the slot positions (for per-slot state such as the adaptive-h
-    iterate), target positions, and the stencil candidates. Outputs are
-    [K] slot-ordered; padded slots compute against an empty candidate
-    set. ``candidates_fn(tp)``: override the stencil source (e.g. the
-    fine-cell rows of a block list)."""
-    k = ids.shape[0]
-    nb = -(-k // block)
-    kpad = nb * block
-    ids_p = jnp.concatenate(
-        [ids, jnp.full((kpad - k,), -1, ids.dtype)])
-    safe = jnp.maximum(ids_p, 0)
-    tpos_all = pos[safe]
-    cf = candidates_fn or (lambda tp: candidate_indices(cl, tp))
-
-    def one_block(i):
-        start = i * block
-        gidx = jax.lax.dynamic_slice(safe, (start,), (block,))
-        sl = jax.lax.dynamic_slice(ids_p, (start,), (block,))
-        tp = jax.lax.dynamic_slice(tpos_all, (start, 0), (block, 3))
-        cand = jnp.where((sl >= 0)[:, None], cf(tp), -1)
-        slots = start + jnp.arange(block, dtype=jnp.int32)
-        return pair_fn(gidx, slots, tp, cand)
-
-    out = jax.lax.map(one_block, jnp.arange(nb))
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((kpad,) + x.shape[2:])[:k], out
-    )

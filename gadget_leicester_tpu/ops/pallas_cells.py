@@ -73,30 +73,6 @@ def pack_cells_soa(cl: CellList, pos, mass, soft, alive, needed=None,
     return rows.transpose(0, 2, 1)          # [C, 8, cap]
 
 
-def dilate_flags(flags, n_cells, periodic: bool):
-    """[C] activity flags -> [C] bool 'needed' mask: a cell is needed when
-    it or any 27-stencil neighbour holds an active target (sources for
-    gated tiles). Separable per-axis +-1 dilation."""
-    import numpy as _np
-    ncv = (n_cells, n_cells, n_cells) if isinstance(n_cells, int) \
-        else tuple(n_cells)
-    pv = (periodic,) * 3 if isinstance(periodic, bool) else tuple(periodic)
-    g = flags.reshape(ncv).astype(bool)
-    for ax in range(3):
-        if pv[ax]:
-            g = g | jnp.roll(g, 1, axis=ax) | jnp.roll(g, -1, axis=ax)
-        else:
-            pads = [(0, 0)] * 3
-            pads[ax] = (1, 1)
-            p = jnp.pad(g, pads)
-            sl_lo = [slice(None)] * 3
-            sl_lo[ax] = slice(0, ncv[ax])
-            sl_hi = [slice(None)] * 3
-            sl_hi[ax] = slice(2, ncv[ax] + 2)
-            g = g | p[tuple(sl_lo)] | p[tuple(sl_hi)]
-    return g.reshape(-1)
-
-
 def neighbor_table(n_cells: int, periodic: bool):
     """[C, 27] int32 stencil cell ids (periodic wrap or -1 pad -> self)."""
     import numpy as np
@@ -677,86 +653,251 @@ def grav_tile_flags(cl: CellList, active, n_cells: int):
         active.astype(jnp.int32), mode="drop")[:c]
 
 
-def shortrange_gravity_pallas_dma9_sparse(
+# ---------------------------------------------------------------------------
+# Cell-compacted active-ENTRY kernels (docs/compact_active_design.md)
+# ---------------------------------------------------------------------------
+# Target lanes per entry: 8 covers the measured ~2.2 active/cell mean with
+# one entry for ~99% of active cells; [lanes, 3cap] slabs are exactly one
+# VPU sublane group wide, so lane fill is the only waste.
+ENTRY_LANES = 8
+def _xyzpad_stencil(soa, n: int, cap: int, periodic):
+    """[C,8,cap] -> fully padded stencil layout [(n+2), (n+2), 8, (n+2)cap]:
+    wrap (or parked) copies on ALL axes, so the whole 27-cell stencil of
+    cell (x,y,z) is ONE strided block .at[x:x+3, y:y+3, :, z*cap:(z+3)*cap]
+    — one DMA per active cell instead of nine column DMAs. Pad copies keep
+    original coordinates; the kernel's per-pair minimum image makes wrap
+    distances exact (and tolerates stale in-margin assignments)."""
+    px, py, pz = (periodic,) * 3 if isinstance(periodic, bool) \
+        else tuple(periodic)
+    arr = soa.reshape(n, n, n, 8, cap)
+
+    def pads(a, axis, per):
+        lo_sl = [slice(None)] * a.ndim
+        hi_sl = [slice(None)] * a.ndim
+        lo_sl[axis] = slice(-1, None)
+        hi_sl[axis] = slice(0, 1)
+        if per:
+            return a[tuple(lo_sl)], a[tuple(hi_sl)]
+        dead = jnp.zeros_like(a[tuple(hi_sl)])
+        dead = dead.at[..., :3, :].set(-7e3)
+        return dead, dead
+
+    lo, hi = pads(arr, 2, pz)
+    arr = jnp.concatenate([lo, arr, hi], axis=2)        # [n,n,n+2,8,cap]
+    arr = arr.transpose(0, 1, 3, 2, 4).reshape(n, n, 8, (n + 2) * cap)
+    lo, hi = pads(arr, 1, py)
+    arr = jnp.concatenate([lo, arr, hi], axis=1)        # [n,n+2,8,(n+2)cap]
+    lo, hi = pads(arr, 0, px)
+    return jnp.concatenate([lo, arr, hi], axis=0)   # [n+2,n+2,8,(n+2)cap]
+
+
+def count_active_entries(cl: CellList, active, lanes: int):
+    """Number of (cell, lane-group) entries the compacted active-entry
+    kernels would need: sum over cells of ceil(n_active_in_cell / lanes).
+    O(N + C) — cheap enough to run every sync point as the tier gate."""
+    c = cl.cells.shape[0]
+    co = jnp.where(cl.cell_of >= 0, cl.cell_of, c)
+    counts = jnp.zeros((c + 1,), jnp.int32).at[co].add(
+        active.astype(jnp.int32), mode="drop")[:c]
+    return jnp.sum((counts + lanes - 1) // lanes)
+
+
+def build_active_entries(cl: CellList, active, lanes: int, k_max: int):
+    """Compact the active targets of each cell into entries of ``lanes``
+    slots [G2: gravtree.c — the active list IS the work list].
+
+    Returns (entry_cell [k_max] int32, -1 pad;
+             entry_slot [k_max, lanes] int32 slot-in-cell, -1 pad;
+             total int32 — true entry count, may exceed k_max: caller
+             must lax.cond to the dense path then).
+
+    A cell with more than ``lanes`` active targets spills into multiple
+    consecutive entries (same cell id, disjoint lane groups) — each entry
+    re-reads the cell's stencil, which is the right trade at ~2 active
+    targets per cell (measured lcdm_gas activity structure)."""
+    cells = cl.cells
+    c, cap = cells.shape
+    act = (cells >= 0) & active[jnp.maximum(cells, 0)]
+    ranks = jnp.cumsum(act.astype(jnp.int32), axis=1) - 1     # [C, cap]
+    n_act = jnp.sum(act.astype(jnp.int32), axis=1)            # [C]
+    groups = (n_act + lanes - 1) // lanes
+    base = jnp.cumsum(groups) - groups
+    total = jnp.sum(groups)
+    gid = base[:, None] + ranks // lanes
+    lane = ranks % lanes
+    gid_s = jnp.where(act, jnp.minimum(gid, k_max), k_max)
+    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (c, cap), 0)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (c, cap), 1)
+    entry_cell = jnp.full((k_max + 1,), -1, jnp.int32).at[gid_s].max(
+        cell_ids, mode="drop")[:k_max]
+    entry_slot = jnp.full((k_max + 1, lanes), -1, jnp.int32).at[
+        gid_s, lane].set(slot_ids, mode="drop")[:k_max]
+    return entry_cell, entry_slot, total
+
+
+def _make_kernel_entries(box, asmth, rcut, periodic, n_cells, cap, lanes,
+                         with_potential=False):
+    """Gravity kernel over compacted active ENTRIES: grid = (k_max,),
+    each step evaluates <= ``lanes`` active targets of one cell against
+    the full 27-cell stencil, fetched as ONE strided DMA from the
+    _xyzpad_stencil layout and double-buffered ACROSS grid steps (the
+    next entry's stencil streams in while this one computes).
+
+    Per-entry cost: one DMA of [3,3,8,3cap] + 9 x [lanes, 3cap] VPU
+    slabs — lanes/cap of the dense tile's arithmetic. Padding entries
+    (cell -1) start no DMA and write only zeros."""
+
+    def dma_for(ecell_ref, src_hbm, buf, sems, e, slot):
+        cc = jnp.maximum(ecell_ref[e], 0)
+        n = n_cells
+        x = cc // (n * n)
+        rem = cc % (n * n)
+        y, z = rem // n, rem % n
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(x, 3), pl.ds(y, 3), :,
+                       pl.ds(z * cap, 3 * cap)],
+            buf.at[slot], sems.at[slot])
+
+    def kernel(ecell_ref, tgt_ref, src_hbm, out_ref, buf, sems):
+        i = pl.program_id(0)
+        k_max = pl.num_programs(0)
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        @pl.when((i == 0) & (ecell_ref[0] >= 0))
+        def _():
+            dma_for(ecell_ref, src_hbm, buf, sems, 0, 0).start()
+
+        nxt = jnp.minimum(i + 1, k_max - 1)
+
+        @pl.when((i + 1 < k_max) & (ecell_ref[nxt] >= 0))
+        def _():
+            dma_for(ecell_ref, src_hbm, buf, sems, nxt,
+                    jax.lax.rem(i + 1, 2)).start()
+
+        @pl.when(ecell_ref[i] >= 0)
+        def _compute():
+            dma_for(ecell_ref, src_hbm, buf, sems, i,
+                    jax.lax.rem(i, 2)).wait()
+            t = tgt_ref[0]                      # [8, 128]; lanes used
+            tx = t[0, :lanes]
+            ty = t[1, :lanes]
+            tz = t[2, :lanes]
+            tsoft = t[4, :lanes]
+            tsinv = t[6, :lanes]
+            slot = jax.lax.rem(i, 2)
+
+            def body(j, acc):
+                ax, ay, az, pw = acc
+                s = buf[slot, j // 3, j % 3]    # [8, 3cap]
+                dx = tx[:, None] - s[0, :][None, :]
+                dy = ty[:, None] - s[1, :][None, :]
+                dz = tz[:, None] - s[2, :][None, :]
+                if periodic:
+                    dx = dx - box * jnp.round(dx * (1.0 / box))
+                    dy = dy - box * jnp.round(dy * (1.0 / box))
+                    dz = dz - box * jnp.round(dz * (1.0 / box))
+                r2 = dx * dx + dy * dy + dz * dz
+                rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
+                r = r2 * rinv
+                hh = jnp.maximum(tsoft[:, None], s[4, :][None, :])
+                hhinv = jnp.minimum(tsinv[:, None], s[6, :][None, :])
+                fac = _grav_fac_nodiv(r, rinv, hh, hhinv)
+                if with_potential:
+                    pfac = _grav_pot_nodiv(r, rinv, hh, hhinv)
+                if asmth > 0.0:
+                    fac = fac * _shortrange_trunc_pallas(r, asmth)
+                ok = (r2 < rcut * rcut) & (r2 > 0.0)
+                w = jnp.where(ok, s[3, :][None, :] * fac, 0.0)
+                if with_potential:
+                    if asmth > 0.0:
+                        pfac = pfac * _erfc_trunc_pallas(r, asmth)
+                    wp = jnp.where(ok, s[3, :][None, :] * pfac, 0.0)
+                    pw = pw + jnp.sum(wp, axis=1)
+                return (ax - jnp.sum(w * dx, axis=1),
+                        ay - jnp.sum(w * dy, axis=1),
+                        az - jnp.sum(w * dz, axis=1),
+                        pw)
+
+            z0 = jnp.zeros((lanes,), t.dtype)
+            ax, ay, az, pw = jax.lax.fori_loop(0, 9, body, (z0, z0, z0, z0))
+            out_ref[0, 0, :lanes] = ax
+            out_ref[0, 1, :lanes] = ay
+            out_ref[0, 2, :lanes] = az
+            if with_potential:
+                out_ref[0, 3, :lanes] = pw
+
+    return kernel
+
+
+def shortrange_gravity_pallas_entries(
     pos, mass, soft, alive, box: float, n_cells: int, capacity: int,
-    asmth: float, rcut: float, flags, needed, k_act: int, k_pack: int,
-    cl: CellList, periodic: bool = True, with_potential: bool = False,
+    asmth: float, rcut: float, entry_cell, entry_slot, cl: CellList,
+    periodic: bool = True, with_potential: bool = False,
     interpret: bool = False,
 ):
-    """Sparse variant of shortrange_gravity_pallas_dma9 for nearly-idle
-    sync points [G2: timestep.c — the active list IS the work list].
-
-    Everything is O(active tiles), not O(N): only the ``needed`` cells
-    (active tiles + their 27-stencil sources, <= k_pack) are gathered
-    into the [C, 8, cap] source geometry (unneeded rows stay zero: mass 0
-    contributes nothing); the kernel grid runs over a compacted list of
-    <= k_act active tiles; the merge scatters only those tiles' slots.
-    Inactive particles' acc entries are left 0 — the caller's
-    where(active, ...) keeps their frozen values, same as the dense path.
-
-    The caller must guarantee count(flags) <= k_act and
-    count(needed) <= k_pack (lax.cond to the dense path otherwise)."""
-    c3 = n_cells ** 3
+    """Active-entry short-range gravity (docs/compact_active_design.md):
+    O(entries) kernel work at nearly-idle sync points — the TPU shape of
+    [G2: gravtree.c walking only the active list]. ``entry_cell`` /
+    ``entry_slot`` from build_active_entries (caller guarantees
+    total <= k_max via lax.cond to the dense path). Inactive particles'
+    rows come back 0 — callers keep frozen values, as everywhere."""
+    k_max, lanes = entry_slot.shape
     cap = capacity
     n_p = pos.shape[0]
 
-    with jax.named_scope("sr_sparse_pack"):
-        act_ids = jnp.nonzero(flags > 0, size=k_act, fill_value=-1)[0]
-        act_ids = act_ids.astype(jnp.int32)
-        need_ids = jnp.nonzero(needed, size=k_pack, fill_value=-1)[0]
+    with jax.named_scope("sr_entries_pack"):
+        soa = pack_cells_soa(cl, pos, mass, soft, alive)
+        soa_x = _xyzpad_stencil(soa, n_cells, cap, periodic)
 
-        nid = jnp.maximum(need_ids, 0)
-        cells_n = cl.cells[nid]                       # [k_pack, cap]
-        idxp = jnp.maximum(cells_n, 0)
-        validp = (cells_n >= 0) & alive[idxp] & (need_ids >= 0)[:, None]
+        ec = jnp.maximum(entry_cell, 0)
+        es = jnp.maximum(entry_slot, 0)
+        pidx = cl.cells[ec[:, None], es]                  # [k_max, lanes]
+        valid = (entry_cell[:, None] >= 0) & (entry_slot >= 0) & (pidx >= 0)
+        pidx = jnp.where(valid, pidx, 0)
         soft_inv = jnp.where(soft > 0, 1.0 / soft, 0.0)
         table = jnp.stack(
             [pos[:, 0], pos[:, 1], pos[:, 2], mass, soft,
              jnp.ones_like(mass), soft_inv, jnp.zeros_like(mass)], axis=1)
-        rows = table[idxp]                            # [k_pack, cap, 8]
+        rows = table[pidx]                                # [k_max, lanes, 8]
         far = -7.0 / cl.inv_cell[0]
         park = jnp.stack([far, far, far, jnp.zeros_like(far),
                           jnp.zeros_like(far), jnp.zeros_like(far),
                           jnp.zeros_like(far), jnp.zeros_like(far)])
-        rows = jnp.where(validp[:, :, None], rows, park[None, None, :])
-        dst = jnp.where(need_ids >= 0, need_ids, c3)
-        soa = jnp.zeros((c3 + 1, 8, cap), pos.dtype).at[dst].set(
-            rows.transpose(0, 2, 1), mode="drop")[:c3]
-        soa_z = _zpad_columns(soa, n_cells, cap, periodic)
-        tgt = soa[jnp.maximum(act_ids, 0)]            # [k_act, 8, cap]
+        rows = jnp.where(valid[:, :, None], rows, park[None, None, :])
+        tgt = jnp.zeros((k_max, 8, 128), pos.dtype)
+        tgt = tgt.at[:, :, :lanes].set(rows.transpose(0, 2, 1))
 
     out = pl.pallas_call(
-        _make_kernel_dma9(float(box), asmth, rcut, periodic, n_cells, cap,
-                          with_potential=with_potential, sparse=True),
+        _make_kernel_entries(float(box), asmth, rcut, periodic, n_cells,
+                             cap, lanes, with_potential=with_potential),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(k_act,),
+            grid=(k_max,),
             in_specs=[
-                pl.BlockSpec((1, 8, cap), lambda ci, *_: (ci, 0, 0)),
+                pl.BlockSpec((1, 8, 128), lambda ei, *_: (ei, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 8, cap), lambda ci, *_: (ci, 0, 0)),
+            out_specs=pl.BlockSpec((1, 8, 128), lambda ei, *_: (ei, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, 8, 3 * cap), soa.dtype),
+                pltpu.VMEM((2, 3, 3, 8, 3 * cap), soa.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((k_act, 8, cap), soa.dtype),
+        out_shape=jax.ShapeDtypeStruct((k_max, 8, 128), soa.dtype),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(act_ids, tgt, soa_z)
+    )(entry_cell, tgt, soa_x)
 
-    with jax.named_scope("sr_sparse_merge"):
-        cells_a = cl.cells[jnp.maximum(act_ids, 0)]   # [k_act, cap]
-        validm = (cells_a >= 0) & (act_ids >= 0)[:, None]
-        fidx = jnp.where(validm, jnp.maximum(cells_a, 0), n_p).reshape(-1)
+    with jax.named_scope("sr_entries_merge"):
+        fidx = jnp.where(valid, pidx, n_p).reshape(-1)
+        lout = out[:, :, :lanes]
         acc = jnp.zeros((n_p + 1, 3), pos.dtype)
-        acc = acc.at[fidx, 0].set(out[:, 0, :].reshape(-1), mode="drop")
-        acc = acc.at[fidx, 1].set(out[:, 1, :].reshape(-1), mode="drop")
-        acc = acc.at[fidx, 2].set(out[:, 2, :].reshape(-1), mode="drop")
+        acc = acc.at[fidx, 0].set(lout[:, 0, :].reshape(-1), mode="drop")
+        acc = acc.at[fidx, 1].set(lout[:, 1, :].reshape(-1), mode="drop")
+        acc = acc.at[fidx, 2].set(lout[:, 2, :].reshape(-1), mode="drop")
         acc_p = jnp.where(alive[:, None], acc[:n_p], 0.0)
         if with_potential:
             pot = jnp.zeros((n_p + 1,), pos.dtype).at[fidx].set(
-                out[:, 3, :].reshape(-1), mode="drop")
+                lout[:, 3, :].reshape(-1), mode="drop")
             return acc_p, jnp.where(alive, pot[:n_p], 0.0), cl.overflow
         return acc_p, cl.overflow
 

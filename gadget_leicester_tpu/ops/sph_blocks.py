@@ -114,62 +114,6 @@ def build_block_lists(pos, mask, origin, extent, n_blocks: int,
     return mk(cells_e[:n_e], nb), mk(cells_o[:n_o], nb_o)
 
 
-def fine_candidate_indices(cl_e: CellList, target_pos):
-    """[T, 27*subcap] candidate particle rows for arbitrary target
-    positions, sourced from the even block list's FINE cells: the lane
-    layout lane = subcell*subcap + rank (build_block_lists) means fine
-    cell (block b, subcell s) is the contiguous row b*8+s of
-    cells.reshape(nb^3*8, subcap) — so the block packing doubles as a
-    fine cell list for compacted-active sweeps."""
-    nb = cl_e.n_cells
-    m = 2 * nb
-    lanes = cl_e.cells.shape[1]
-    subcap = lanes // 8
-    rel = (target_pos - cl_e.origin) * cl_e.inv_cell
-    coords = jnp.floor(rel).astype(jnp.int32)
-    if cl_e.periodic:
-        coords = jnp.mod(coords, m)
-    else:
-        coords = jnp.clip(coords, 0, m - 1)
-    offs = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), -1
-    ).reshape(27, 3)
-    c = coords[:, None, :] + offs                    # [T,27,3]
-    if cl_e.periodic:
-        c = jnp.mod(c, m)
-        valid = jnp.ones(c.shape[:-1], bool)
-    else:
-        valid = jnp.all((c >= 0) & (c < m), axis=-1)
-        c = jnp.clip(c, 0, m - 1)
-    b = c >> 1
-    s = c & 1
-    bid = (b[..., 0] * nb + b[..., 1]) * nb + b[..., 2]
-    sub = (s[..., 0] * 2 + s[..., 1]) * 2 + s[..., 2]
-    table = cl_e.cells.reshape(nb ** 3 * 8, subcap)
-    cand = table[bid * 8 + sub]                      # [T,27,subcap]
-    cand = jnp.where(valid[..., None], cand, -1)
-    return cand.reshape(target_pos.shape[0], -1)
-
-
-def _needed_odd(flags_e, nb: int, periodic: bool):
-    """[B] even-tile activity flags -> [Bo] bool mask of odd blocks that
-    any active even tile reads: even target b streams odd sources b+g,
-    g in {0,1}^3 (periodic wrap / the (nb+1)^3 odd grid)."""
-    g = flags_e.reshape(nb, nb, nb).astype(bool)
-    if periodic:
-        for ax in range(3):
-            g = g | jnp.roll(g, 1, axis=ax)
-        return g.reshape(-1)
-    out = jnp.zeros((nb + 1,) * 3, bool).at[:nb, :nb, :nb].set(g)
-    for ax in range(3):
-        pads = [(0, 0)] * 3
-        pads[ax] = (1, 0)
-        sl = [slice(None)] * 3
-        sl[ax] = slice(0, nb + 1)
-        out = out | jnp.pad(out, pads)[tuple(sl)]
-    return out.reshape(-1)
-
-
 def _zpad_odd(arr, nb, periodic):
     """Odd-packing arrays [Bo, rows, lanes] -> z-contiguous layout so the
     two gz-source blocks of a (gx,gy) column are ADJACENT rows (one DMA):
@@ -740,16 +684,20 @@ def hydro_force_blocks(
 
 
 # ---------------------------------------------------------------------------
-# sparse (compacted active-tile) variants for nearly-idle sync points
-# [G2: timestep.c / density.c — the active list IS the work list]
+# Cell-compacted active-ENTRY variants (docs/compact_active_design.md):
+# per-particle granularity for nearly-idle sync points. Activity is SPREAD
+# (measured: 93% of blocks hold an active at 0.68% active), so block
+# gating floors at ~1x; entries compact the <= ENTRY_LANES active targets
+# of each block into one kernel step whose 8 odd source blocks arrive as
+# ONE strided DMA from a fully padded layout.
+# [G2: density.c / hydra.c — only the active list gets fresh sums]
 # ---------------------------------------------------------------------------
 
 
-def sph_block_flags(cl_e: CellList, active):
-    """[B] int32 even-block activity flags via an O(N) scatter over the
-    cached fine-cell assignments (cell_of) — no [B, lanes] gather, usable
-    before any pack exists. Stale assignments are fine: gating only needs
-    to agree with the cells[] the kernel will walk."""
+def count_block_entries(cl_e: CellList, active, lanes_grp: int):
+    """Entries the active-entry SPH kernels would need: per even block,
+    ceil(n_active/lanes_grp), summed. O(N + B) via the fine cell_of (an
+    upper bound when fine cells overflowed subcap — conservative)."""
     nb = cl_e.n_cells
     m = 2 * nb
     cid = cl_e.cell_of
@@ -759,181 +707,337 @@ def sph_block_flags(cl_e: CellList, active):
     bid = ((cx >> 1) * nb + (cy >> 1)) * nb + (cz >> 1)
     b3 = nb ** 3
     dst = jnp.where(active, bid, b3)
-    return jnp.zeros((b3 + 1,), jnp.int32).at[dst].max(
-        jnp.ones_like(dst), mode="drop")[:b3]
+    counts = jnp.zeros((b3 + 1,), jnp.int32).at[dst].add(
+        1, mode="drop")[:b3]
+    return jnp.sum((counts + lanes_grp - 1) // lanes_grp)
 
 
-def _sparse_target_pack(cl_e: CellList, act_ids, table, valid_of):
-    """Gather [k_act, rows, lanes] target tiles for the compacted even
-    blocks. ``valid_of(idx)`` -> bool per slot (mask semantics of the
-    caller). Returns (soa_t, idx_a, valid_a); invalid slots are parked
-    far away with zero mass."""
-    cells_a = cl_e.cells[jnp.maximum(act_ids, 0)]
-    idx_a = jnp.maximum(cells_a, 0)
-    valid_a = (cells_a >= 0) & valid_of(idx_a) & (act_ids >= 0)[:, None]
-    rows = table[idx_a]                      # [k_act, lanes, R]
+def _xyzpad_odd_full(arr, nb: int, periodic: bool):
+    """Odd-packing soa [Bo, R, lanes] -> [(nb+1), (nb+1), (nb+1), R,
+    lanes]: the 8 odd source blocks of even target b are the contiguous
+    [bx:bx+2, by:by+2, bz:bz+2] corner — ONE strided DMA. Periodic grids
+    get wrap copies appended on every axis; non-periodic odd grids are
+    (nb+1)^3 already."""
+    r, l = arr.shape[1], arr.shape[2]
+    if not periodic:
+        return arr.reshape(nb + 1, nb + 1, nb + 1, r, l)
+    a = arr.reshape(nb, nb, nb, r, l)
+    a = jnp.concatenate([a, a[:, :, :1]], axis=2)
+    a = jnp.concatenate([a, a[:, :1]], axis=1)
+    return jnp.concatenate([a, a[:1]], axis=0)
+
+
+def _make_sph_entries_kernel(box, periodic, nb, lanes, L, kind,
+                             visc_const=0.0):
+    """SPH kernel over compacted active entries (see the gravity analog
+    pallas_cells._make_kernel_entries). kind: 'density' | 'hydro'."""
+    from gadget_leicester_tpu.ops.sph_kernels import (kernel_dw_dr,
+                                                      kernel_w_and_dwdh)
+
+    def dma_for(eblk_ref, src_hbm, buf, sems, e, slot):
+        b = jnp.maximum(eblk_ref[e], 0)
+        bx = b // (nb * nb)
+        rem = b % (nb * nb)
+        by, bz = rem // nb, rem % nb
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(bx, 2), pl.ds(by, 2), pl.ds(bz, 2)],
+            buf.at[slot], sems.at[slot])
+
+    def density_compute(t, ht, s, acc):
+        rho, drhodh, divv, rx, ry, rz = acc
+        dx = t[0, :L][:, None] - s[0, :][None, :]
+        dy = t[1, :L][:, None] - s[1, :][None, :]
+        dz = t[2, :L][:, None] - s[2, :][None, :]
+        if periodic:
+            dx = dx - box * jnp.round(dx * (1.0 / box))
+            dy = dy - box * jnp.round(dy * (1.0 / box))
+            dz = dz - box * jnp.round(dz * (1.0 / box))
+        r2 = dx * dx + dy * dy + dz * dz
+        rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
+        r = r2 * rinv
+        w, dwdh = kernel_w_and_dwdh(r, ht)
+        dwdr = kernel_dw_dr(r, ht)
+        m = s[3, :][None, :]
+        fac = m * dwdr * rinv
+        dvx = t[4, :L][:, None] - s[4, :][None, :]
+        dvy = t[5, :L][:, None] - s[5, :][None, :]
+        dvz = t[6, :L][:, None] - s[6, :][None, :]
+        vdotr = dvx * dx + dvy * dy + dvz * dz
+        return (rho + jnp.sum(m * w, axis=1),
+                drhodh + jnp.sum(m * dwdh, axis=1),
+                divv - jnp.sum(fac * vdotr, axis=1),
+                rx + jnp.sum(fac * (dvy * dz - dvz * dy), axis=1),
+                ry + jnp.sum(fac * (dvz * dx - dvx * dz), axis=1),
+                rz + jnp.sum(fac * (dvx * dy - dvy * dx), axis=1))
+
+    def hydro_compute(params, t, s16, acc):
+        hubble_a2_flow, fac_mu = params
+        ax_a, ay_a, az_a, dte, msv_a = acc
+        sa = s16[:8]
+        dx = t[0, :L][:, None] - sa[0, :][None, :]
+        dy = t[1, :L][:, None] - sa[1, :][None, :]
+        dz = t[2, :L][:, None] - sa[2, :][None, :]
+        if periodic:
+            dx = dx - box * jnp.round(dx * (1.0 / box))
+            dy = dy - box * jnp.round(dy * (1.0 / box))
+            dz = dz - box * jnp.round(dz * (1.0 / box))
+        r2 = dx * dx + dy * dy + dz * dz
+        rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
+        r = r2 * rinv
+        ht = t[7, :L][:, None]
+        hs = sa[7, :][None, :]
+        inside = (r < jnp.maximum(ht, hs)) & (r > 0.0)
+        inside = inside & (s16[12, :][None, :] > 0.0)
+        dwk_i = kernel_dw_dr(r, ht)
+        dwk_j = kernel_dw_dr(r, hs)
+        dvx = t[4, :L][:, None] - sa[4, :][None, :]
+        dvy = t[5, :L][:, None] - sa[5, :][None, :]
+        dvz = t[6, :L][:, None] - sa[6, :][None, :]
+        vdotr2 = dvx * dx + dvy * dy + dvz * dz + hubble_a2_flow * r2
+        approaching = vdotr2 < 0.0
+        mu_ij = fac_mu * vdotr2 * rinv
+        vsig = t[10, :L][:, None] + s16[10, :][None, :] \
+            - 3.0 * jnp.where(approaching, mu_ij, 0.0)
+        rho_ij = 0.5 * (t[8, :L][:, None] + s16[8, :][None, :])
+        rs = jax.lax.rsqrt(jnp.maximum(rho_ij, 1e-37))
+        rho_ij_inv = rs * rs
+        f_ij = 0.5 * (t[11, :L][:, None] + s16[11, :][None, :])
+        visc = jnp.where(approaching,
+                         0.5 * visc_const * vsig * (-mu_ij)
+                         * rho_ij_inv * f_ij, 0.0)
+        m = sa[3, :][None, :]
+        hfc_visc = 0.5 * m * visc * (dwk_i + dwk_j) * rinv
+        hfc = hfc_visc + m * (t[9, :L][:, None] * dwk_i
+                              + s16[9, :][None, :] * dwk_j) * rinv
+        mask = jnp.where(inside, 1.0, 0.0)
+        hfc = hfc * mask
+        hfc_visc = hfc_visc * mask
+        msv = jnp.max(jnp.where(inside, vsig, 0.0), axis=1)
+        return (ax_a - jnp.sum(hfc * dx, axis=1),
+                ay_a - jnp.sum(hfc * dy, axis=1),
+                az_a - jnp.sum(hfc * dz, axis=1),
+                dte + 0.5 * jnp.sum(hfc_visc * vdotr2, axis=1),
+                jnp.maximum(msv_a, msv))
+
+    def kernel(eblk_ref, *refs):
+        if kind == "hydro":
+            params_ref, tgt_ref, src_hbm, out_ref, buf, sems = refs
+        else:
+            tgt_ref, h_ref, src_hbm, out_ref, buf, sems = refs
+        i = pl.program_id(0)
+        k_max = pl.num_programs(0)
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        @pl.when((i == 0) & (eblk_ref[0] >= 0))
+        def _():
+            dma_for(eblk_ref, src_hbm, buf, sems, 0, 0).start()
+
+        nxt = jnp.minimum(i + 1, k_max - 1)
+
+        @pl.when((i + 1 < k_max) & (eblk_ref[nxt] >= 0))
+        def _():
+            dma_for(eblk_ref, src_hbm, buf, sems, nxt,
+                    jax.lax.rem(i + 1, 2)).start()
+
+        @pl.when(eblk_ref[i] >= 0)
+        def _compute():
+            slot = jax.lax.rem(i, 2)
+            dma_for(eblk_ref, src_hbm, buf, sems, i, slot).wait()
+            t = tgt_ref[0]
+            z0 = jnp.zeros((L,), jnp.float32)
+            if kind == "hydro":
+                params = (params_ref[0, 0], params_ref[0, 1])
+
+                def body(g, acc):
+                    s = buf[slot, g >> 2, (g >> 1) & 1, g & 1]
+                    return hydro_compute(params, t, s, acc)
+
+                ax, ay, az, dte, msv = jax.lax.fori_loop(
+                    0, 8, body, (z0, z0, z0, z0, z0))
+                out_ref[0, 0, :L] = ax
+                out_ref[0, 1, :L] = ay
+                out_ref[0, 2, :L] = az
+                out_ref[0, 3, :L] = dte
+                out_ref[0, 4, :L] = msv
+            else:
+                ht = h_ref[0, 0, :L][:, None]
+
+                def body(g, acc):
+                    s = buf[slot, g >> 2, (g >> 1) & 1, g & 1]
+                    return density_compute(t, ht, s, acc)
+
+                rho, drhodh, divv, rx, ry, rz = jax.lax.fori_loop(
+                    0, 8, body, (z0, z0, z0, z0, z0, z0))
+                out_ref[0, 0, :L] = rho
+                out_ref[0, 1, :L] = drhodh
+                out_ref[0, 2, :L] = divv
+                out_ref[0, 3, :L] = rx
+                out_ref[0, 4, :L] = ry
+                out_ref[0, 5, :L] = rz
+
+    return kernel
+
+
+def density_sums_blocks_entries(cl_e: CellList, tgt, h_tiles, src_pad,
+                                entry_blk, box: float,
+                                interpret: bool = False):
+    """Density sweep over compacted active entries: grid = (k_max,);
+    ``entry_blk`` [k_max] holds real even-block ids (-1 = padding);
+    ``tgt`` [k_max, 8, 128] target rows (first L lanes live); ``h_tiles``
+    [k_max, 128] per-lane smoothing lengths; ``src_pad`` from
+    _xyzpad_odd_full."""
+    from gadget_leicester_tpu.ops.pallas_cells import ENTRY_LANES
+    k_max = tgt.shape[0]
+    nb = cl_e.n_cells
+    lanes = cl_e.cells.shape[1]
+    return pl.pallas_call(
+        _make_sph_entries_kernel(float(box), cl_e.periodic, nb, lanes,
+                                 ENTRY_LANES, "density"),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(k_max,),
+            in_specs=[
+                pl.BlockSpec((1, 8, 128), lambda ei, *_: (ei, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda ei, *_: (ei, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda ei, *_: (ei, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, 2, 2, 8, lanes), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_max, 8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(entry_blk, tgt, h_tiles.reshape(k_max, 1, 128), src_pad)
+
+
+def hydro_sums_blocks_entries(cl_e: CellList, tgt16, src_pad, entry_blk,
+                              box: float, visc_const: float,
+                              hubble_a2_flow, fac_mu,
+                              interpret: bool = False):
+    """Hydro sweep over compacted active entries. ``tgt16``
+    [k_max, 16, 128]: rows 0-7 = kinematics (h at 7), 8-11 = rho,
+    p_over_rho2*f, c_snd, balsara."""
+    from gadget_leicester_tpu.ops.pallas_cells import ENTRY_LANES
+    k_max = tgt16.shape[0]
+    nb = cl_e.n_cells
+    lanes = cl_e.cells.shape[1]
+    params = jnp.stack([jnp.asarray(hubble_a2_flow, jnp.float32),
+                        jnp.asarray(fac_mu, jnp.float32)]).reshape(1, 2)
+    return pl.pallas_call(
+        _make_sph_entries_kernel(float(box), cl_e.periodic, nb, lanes,
+                                 ENTRY_LANES, "hydro",
+                                 visc_const=float(visc_const)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(k_max,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda ei, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 16, 128), lambda ei, *_: (ei, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda ei, *_: (ei, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, 2, 2, 16, lanes), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_max, 8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(entry_blk, params, tgt16, src_pad)
+
+
+def _entries_target_gather(cl_e: CellList, entry_cell, entry_slot, table,
+                           valid_of, rows_out: int):
+    """[k_max, rows_out, 128] target tiles for the compacted entries:
+    rows = table columns, first L lanes live, invalid lanes parked far
+    with zero mass. Returns (tgt, pidx, valid)."""
+    k_max, L = entry_slot.shape
+    ec = jnp.maximum(entry_cell, 0)
+    es = jnp.maximum(entry_slot, 0)
+    pidx = cl_e.cells[ec[:, None], es]
+    valid = (entry_cell[:, None] >= 0) & (entry_slot >= 0) & (pidx >= 0)
+    pidx = jnp.where(valid, pidx, 0)
+    valid = valid & valid_of(pidx)
     r = table.shape[1]
+    rows = table[pidx]                                # [k_max, L, r]
     far = jnp.asarray(-7.0, table.dtype) / cl_e.inv_cell[0]
     park = jnp.concatenate([jnp.full((3,), far, table.dtype),
                             jnp.zeros((r - 3,), table.dtype)])
-    rows = jnp.where(valid_a[:, :, None], rows, park[None, None, :])
-    return rows.transpose(0, 2, 1), idx_a, valid_a
+    rows = jnp.where(valid[:, :, None], rows, park[None, None, :])
+    tgt = jnp.zeros((k_max, rows_out, 128), table.dtype)
+    tgt = tgt.at[:, :r, :L].set(rows.transpose(0, 2, 1))
+    return tgt, pidx, valid
 
 
-def _sparse_odd_source(cl_o: CellList, need_ids, table, valid_of, nb,
-                       periodic):
-    """Scatter-build the FULL-geometry odd source SoA from only the
-    ``needed`` blocks (zeros elsewhere: zero mass / zero valid-row rows
-    contribute nothing to any sum), then z-pad for the column DMAs."""
-    b_o = cl_o.cells.shape[0]
-    r = table.shape[1]
-    lanes = cl_o.cells.shape[1]
-    cells_n = cl_o.cells[jnp.maximum(need_ids, 0)]
-    idx_n = jnp.maximum(cells_n, 0)
-    valid_n = (cells_n >= 0) & valid_of(idx_n) & (need_ids >= 0)[:, None]
-    rows = jnp.where(valid_n[:, :, None], table[idx_n], 0.0)
-    dst = jnp.where(need_ids >= 0, need_ids, b_o)
-    src = jnp.zeros((b_o + 1, r, lanes), table.dtype).at[dst].set(
-        rows.transpose(0, 2, 1), mode="drop")[:b_o]
-    return _zpad_odd(src, nb, periodic)
-
-
-def density_sums_blocks_sparse(cl_e: CellList, soa_t, h_tiles, src_zpad,
-                               act_ids, box: float,
-                               interpret: bool = False):
-    """Density sweep over a COMPACTED tile list: grid = (k_act,), the
-    prefetched vector holds real even-block ids (-1 = padding)."""
-    k_act, _, lanes = soa_t.shape
-    nb = cl_e.n_cells
-    periodic = cl_e.periodic
-    return pl.pallas_call(
-        _make_density_block_kernel(float(box), periodic, nb, lanes,
-                                   dma=True, sparse=True),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(k_act,),
-            in_specs=[
-                pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
-                pl.BlockSpec((1, 1, lanes), lambda bi, *_: (bi, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, 2, 8, lanes), soa_t.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((k_act, 8, lanes), soa_t.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(act_ids, soa_t, h_tiles.reshape(k_act, 1, lanes), src_zpad)
-
-
-def hydro_sums_blocks_sparse(cl_e: CellList, soa_a, soa_b, src_zpad,
-                             act_ids, box: float, visc_const: float,
-                             hubble_a2_flow, fac_mu,
-                             interpret: bool = False):
-    """Hydro sweep over a COMPACTED tile list (see
-    density_sums_blocks_sparse)."""
-    k_act, _, lanes = soa_a.shape
-    nb = cl_e.n_cells
-    periodic = cl_e.periodic
-    params = jnp.stack([jnp.asarray(hubble_a2_flow, soa_a.dtype),
-                        jnp.asarray(fac_mu, soa_a.dtype)]).reshape(1, 2)
-    return pl.pallas_call(
-        _make_hydro_block_kernel(float(box), periodic, nb, lanes,
-                                 float(visc_const), dma=True, sparse=True),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(k_act,),
-            in_specs=[
-                pl.BlockSpec((1, 2), lambda bi, *_: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
-                pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec((1, 8, lanes), lambda bi, *_: (bi, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, 2, 16, lanes), soa_a.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((k_act, 8, lanes), soa_a.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(act_ids, params, soa_a, soa_b, src_zpad)
-
-
-def density_adaptive_blocks_sparse(
-    pos, vel, mass, hsml0, gas_mask, active, flags_e,
-    des_num_ngb: float, max_dev: float, box: float,
-    k_act: int, k_pack: int, cls,
+def density_adaptive_blocks_entries(
+    pos, vel, mass, hsml0, gas_mask, entry_cell, entry_slot,
+    des_num_ngb: float, max_dev: float, box: float, cls,
     min_hsml: float = 0.0, max_hsml=None,
     periodic: bool = True, max_iters: int = 40,
     interpret: bool = False,
 ):
-    """Sparse counterpart of density_adaptive_blocks: pack, Newton
-    solve, kernel grid, and merge are ALL sized by the compacted
-    active/needed tile lists (k_act even targets, k_pack odd sources)
-    instead of B or N. The caller guarantees count(flags_e) <= k_act and
-    count(_needed_odd(flags_e)) <= k_pack (lax.cond to the dense path
-    otherwise). Inactive particles' outputs are zero — the caller keeps
-    their drift-predicted fields [G2: density.c active-list economy]."""
+    """Adaptive-h density over compacted active entries (the per-particle
+    economy of [G2: density.c] on TPU): pack, Newton solve, kernel grid
+    and merge are ALL O(entries * ENTRY_LANES). entry_cell/entry_slot
+    from pallas_cells.build_active_entries on the EVEN block list
+    (caller guarantees total <= k_max via lax.cond to the dense path)."""
+    from gadget_leicester_tpu.ops.pallas_cells import pack_sph_soa
     from gadget_leicester_tpu.ops.sph_dense import (DensityResult,
                                                     density_adaptive_generic)
 
     cl_e, cl_o = cls
     ng = pos.shape[0]
     nb = cl_e.n_cells
-    lanes = cl_e.cells.shape[1]
+    k_max, L = entry_slot.shape
 
-    with jax.named_scope("density_sparse_pack"):
-        act_ids = jnp.nonzero(flags_e > 0, size=k_act,
-                              fill_value=-1)[0].astype(jnp.int32)
-        need_ids = jnp.nonzero(_needed_odd(flags_e > 0, nb, periodic),
-                               size=k_pack,
-                               fill_value=-1)[0].astype(jnp.int32)
+    with jax.named_scope("density_entries_pack"):
         ones = jnp.ones(ng, pos.dtype)
         table = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], mass,
                            vel[:, 0], vel[:, 1], vel[:, 2], ones], axis=1)
         gm = lambda idx: gas_mask[idx]  # noqa: E731
-        soa_t, idx_a, valid_t = _sparse_target_pack(cl_e, act_ids, table, gm)
-        src_zpad = _sparse_odd_source(cl_o, need_ids, table, gm, nb,
-                                      periodic)
-        # solve only ACTIVE targets (dense path: valid &= active[idx])
-        valid_a = valid_t & active[idx_a]
-        mass_slots = soa_t[:, 3, :].reshape(-1)
-        mask_slots = valid_a.reshape(-1)
-        h0_slots = jnp.where(valid_a, hsml0[idx_a], 1.0).reshape(-1)
+        tgt, pidx, valid = _entries_target_gather(
+            cl_e, entry_cell, entry_slot, table, gm, 8)
+        src_soa = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask)
+        src_pad = _xyzpad_odd_full(src_soa, nb, periodic)
+        mass_slots = jnp.where(valid, mass[pidx], 0.0).reshape(-1)
+        mask_slots = valid.reshape(-1)
+        h0_slots = jnp.where(valid, hsml0[pidx], 1.0).reshape(-1)
 
     def sweep(h_slots, undone=None):
-        ids = act_ids
+        ids = entry_cell
         if undone is not None:
-            tile_undone = jnp.any(undone.reshape(k_act, lanes), axis=1)
-            ids = jnp.where(tile_undone, act_ids, -1)
-        out = density_sums_blocks_sparse(
-            cl_e, soa_t, h_slots.reshape(k_act, lanes), src_zpad, ids,
-            box, interpret=interpret)
-        rho = out[:, 0, :].reshape(-1)
-        drhodh = out[:, 1, :].reshape(-1)
-        divv = out[:, 2, :].reshape(-1)
-        rot = jnp.stack([out[:, 3, :].reshape(-1), out[:, 4, :].reshape(-1),
-                         out[:, 5, :].reshape(-1)], axis=-1)
+            e_undone = jnp.any(undone.reshape(k_max, L), axis=1)
+            ids = jnp.where(e_undone, entry_cell, -1)
+        h_tiles = jnp.zeros((k_max, 128), jnp.float32).at[:, :L].set(
+            h_slots.reshape(k_max, L))
+        out = density_sums_blocks_entries(cl_e, tgt, h_tiles, src_pad,
+                                          ids, box, interpret=interpret)
+        lout = out[:, :, :L]
+        rho = lout[:, 0, :].reshape(-1)
+        drhodh = lout[:, 1, :].reshape(-1)
+        divv = lout[:, 2, :].reshape(-1)
+        rot = jnp.stack([lout[:, 3, :].reshape(-1),
+                         lout[:, 4, :].reshape(-1),
+                         lout[:, 5, :].reshape(-1)], axis=-1)
         return rho, drhodh, divv, rot
 
     res_slots = density_adaptive_generic(
         sweep, mass_slots, h0_slots, mask_slots, des_num_ngb, max_dev,
         min_hsml=min_hsml, max_hsml=max_hsml, max_iters=max_iters)
 
-    with jax.named_scope("density_sparse_merge"):
-        flat_idx = jnp.where(mask_slots, idx_a.reshape(-1), ng)
+    with jax.named_scope("density_entries_merge"):
+        flat_idx = jnp.where(valid, pidx, ng).reshape(-1)
 
         def to_part(x_slots, fill=0.0):
-            return jnp.full((ng + 1,), fill, x_slots.dtype).at[flat_idx].set(
-                x_slots, mode="drop")[:ng]
+            return jnp.full((ng + 1,), fill, x_slots.dtype).at[
+                flat_idx].set(x_slots, mode="drop")[:ng]
 
         return DensityResult(
             rho=to_part(res_slots.rho),
@@ -946,22 +1050,24 @@ def density_adaptive_blocks_sparse(
         )
 
 
-def hydro_force_blocks_sparse(
+def hydro_force_blocks_entries(
     cls, pos, vel, mass, hsml, rho, pressure, dhsml_factor,
-    div_vel, curl_vel, gas_mask, flags_e, k_act: int, k_pack: int,
+    div_vel, curl_vel, gas_mask, entry_cell, entry_slot,
     visc_const: float, box: float,
     hubble_a2_flow=0.0, hubble_a2_norm=1.0, fac_mu=1.0,
     interpret: bool = False,
 ):
-    """Sparse counterpart of hydro_force_blocks (see
-    density_adaptive_blocks_sparse for the contract)."""
+    """Hydro force over compacted active entries (see
+    density_adaptive_blocks_entries for the contract)."""
     from gadget_leicester_tpu.core.config import GAMMA, GAMMA_MINUS1
+    from gadget_leicester_tpu.ops.pallas_cells import pack_sph_soa
     from gadget_leicester_tpu.ops.sph_dense import HydroResult
 
     cl_e, cl_o = cls
     ng = pos.shape[0]
     nb = cl_e.n_cells
     periodic = cl_e.periodic
+    k_max, L = entry_slot.shape
     rho_safe = jnp.where(rho > 0, rho, 1.0)
     c_snd = jnp.sqrt(GAMMA * pressure / rho_safe)
     p_over_rho2 = pressure / rho_safe**2 * dhsml_factor
@@ -969,42 +1075,38 @@ def hydro_force_blocks_sparse(
     balsara = jnp.abs(div_vel) / (
         jnp.abs(div_vel) + curl_vel + 1e-4 * c_snd / h_safe / fac_mu)
 
-    with jax.named_scope("hydro_sparse_pack"):
-        act_ids = jnp.nonzero(flags_e > 0, size=k_act,
-                              fill_value=-1)[0].astype(jnp.int32)
-        need_ids = jnp.nonzero(_needed_odd(flags_e > 0, nb, periodic),
-                               size=k_pack,
-                               fill_value=-1)[0].astype(jnp.int32)
+    with jax.named_scope("hydro_entries_pack"):
         table_a = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], mass,
                              vel[:, 0], vel[:, 1], vel[:, 2], hsml], axis=1)
         gmf = gas_mask.astype(pos.dtype)
         zero = jnp.zeros_like(gmf)
         table_b = jnp.stack([rho, p_over_rho2, c_snd, balsara, gmf,
                              zero, zero, zero], axis=1)
+        table16 = jnp.concatenate([table_a, table_b], axis=1)
         gm = lambda idx: gas_mask[idx]  # noqa: E731
-        soa_a, idx_a, valid_a = _sparse_target_pack(cl_e, act_ids,
-                                                    table_a, gm)
-        # b-rows carry no positions: zero rows suffice for invalid slots
-        # (their valid column is 0 -> `inside` masks every pair)
-        cells_a = cl_e.cells[jnp.maximum(act_ids, 0)]
-        bidx = jnp.maximum(cells_a, 0)
-        brows = jnp.where(valid_a[:, :, None], table_b[bidx], 0.0)
-        soa_b = brows.transpose(0, 2, 1)
-        src_zpad = _sparse_odd_source(
-            cl_o, need_ids, jnp.concatenate([table_a, table_b], axis=1),
-            gm, nb, periodic)
+        tgt16, pidx, valid = _entries_target_gather(
+            cl_e, entry_cell, entry_slot, table16, gm, 16)
+        src_a = pack_sph_soa(cl_o, pos, vel, mass, hsml, gas_mask)
+        idx_o = jnp.maximum(cl_o.cells, 0)
+        valid_o = ((cl_o.cells >= 0) & gas_mask[idx_o]).astype(pos.dtype)
+        zero_o = jnp.zeros_like(valid_o)
+        src_b = jnp.stack([rho[idx_o], p_over_rho2[idx_o], c_snd[idx_o],
+                           balsara[idx_o], valid_o, zero_o, zero_o, zero_o],
+                          axis=1)
+        src16 = jnp.concatenate([src_a, src_b], axis=1)
+        src_pad = _xyzpad_odd_full(src16, nb, periodic)
 
-    out = hydro_sums_blocks_sparse(cl_e, soa_a, soa_b, src_zpad, act_ids,
-                                   box, visc_const, hubble_a2_flow, fac_mu,
-                                   interpret=interpret)
+    out = hydro_sums_blocks_entries(cl_e, tgt16, src_pad, entry_cell, box,
+                                    visc_const, hubble_a2_flow, fac_mu,
+                                    interpret=interpret)
 
-    with jax.named_scope("hydro_sparse_merge"):
-        keep = (cells_a >= 0) & (act_ids >= 0)[:, None]
-        idxm = jnp.where(keep, bidx, ng).reshape(-1)
+    with jax.named_scope("hydro_entries_merge"):
+        idxm = jnp.where(valid, pidx, ng).reshape(-1)
+        lout = out[:, :, :L]
 
         def sc(r):
             return jnp.zeros((ng + 1,), out.dtype).at[idxm].set(
-                out[:, r, :].reshape(-1), mode="drop")[:ng]
+                lout[:, r, :].reshape(-1), mode="drop")[:ng]
 
         acc = jnp.stack([sc(0), sc(1), sc(2)], axis=-1)
         dt_raw, msv = sc(3), sc(4)

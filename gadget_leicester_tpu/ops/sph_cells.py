@@ -163,157 +163,3 @@ def hydro_force_cells(
         dt_entropy=jnp.where(gm, dt_ent, 0.0),
         max_signal_vel=jnp.where(gm, msv, 0.0),
     )
-
-
-# ---------------------------------------------------------------------------
-# compacted-active variants — per-particle economy for nearly-idle sync
-# points [G2: density.c / hydra.c evaluate ONLY the active list]. Targets
-# are the ``ids`` rows (-1 padded); outputs are [N]-sized scatters (zeros
-# off-active). ``candidates_fn`` lets the caller source the stencil from
-# a block-list fine grid instead of a plain CellList.
-# ---------------------------------------------------------------------------
-
-
-def _scatter_ids(x, put, keep, n):
-    xm = jnp.where(keep.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0)
-    return jnp.zeros((n + 1,) + x.shape[1:], x.dtype).at[put].set(
-        xm, mode="drop")[:n]
-
-
-def density_adaptive_cells_ids(
-    cl, pos, vel, mass, hsml0, gas_mask, ids,
-    des_num_ngb: float, max_dev: float,
-    min_hsml: float = 0.0, max_hsml=None,
-    box: float = 0.0, periodic: bool = False,
-    block: int = 256, max_iters: int = 40,
-    candidates_fn=None,
-) -> DensityResult:
-    """Compacted-active adaptive-h density solve (see module note).
-    The Newton iterate h lives per SLOT; sources index globally."""
-    from gadget_leicester_tpu.ops.neighbors import apply_pairwise_ids
-
-    n = pos.shape[0]
-    safe = jnp.maximum(ids, 0)
-    valid = (ids >= 0) & gas_mask[safe]
-    mass_k = jnp.where(valid, mass[safe], 0.0)
-    h0_k = jnp.where(valid, hsml0[safe], 1.0)
-    src_mass = jnp.where(gas_mask, mass, 0.0)
-
-    def sweep(h_k):
-        def pair_fn(idx, slots, tp, cand):
-            th = h_k[slots]
-            cvalid = cand >= 0
-            ci = jnp.maximum(cand, 0)
-            sp = pos[ci]
-            sv = vel[ci]
-            sm = jnp.where(cvalid, src_mass[ci], 0.0)
-            dx = tp[:, None, :] - sp
-            if periodic:
-                dx = _min_image(dx, box)
-            r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
-            w, dwdh = kernel_w_and_dwdh(r, th[:, None])
-            dwdr = kernel_dw_dr(r, th[:, None])
-            rho = jnp.sum(sm * w, axis=-1)
-            drho_dh = jnp.sum(sm * dwdh, axis=-1)
-            dv = vel[idx][:, None, :] - sv
-            rinv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-37), 0.0)
-            fac = sm * dwdr * rinv
-            divv = -jnp.sum(fac * jnp.sum(dv * dx, axis=-1), axis=-1)
-            rot = jnp.einsum("bc,bcd->bd", fac, jnp.cross(dv, dx))
-            return rho, drho_dh, divv, rot
-
-        return apply_pairwise_ids(cl, pos, ids, pair_fn, block=block,
-                                  candidates_fn=candidates_fn)
-
-    res = density_adaptive_generic(
-        sweep, mass_k, h0_k, valid, des_num_ngb, max_dev,
-        min_hsml=min_hsml, max_hsml=max_hsml, max_iters=max_iters)
-
-    put = jnp.where(valid, safe, n)
-    return DensityResult(
-        rho=_scatter_ids(res.rho, put, valid, n),
-        dhsml_factor=_scatter_ids(res.dhsml_factor, put, valid, n),
-        div_vel=_scatter_ids(res.div_vel, put, valid, n),
-        curl_vel=_scatter_ids(res.curl_vel, put, valid, n),
-        num_ngb_eff=_scatter_ids(res.num_ngb_eff, put, valid, n),
-        hsml=_scatter_ids(res.hsml, put, valid, n),
-        iters=res.iters,
-    )
-
-
-def hydro_force_cells_ids(
-    cl, pos, vel, mass, hsml, rho, pressure, dhsml_factor,
-    div_vel, curl_vel, gas_mask, ids, visc_const: float,
-    box: float = 0.0, periodic: bool = False, block: int = 256,
-    hubble_a2_flow: float = 0.0, hubble_a2_norm: float = 1.0,
-    fac_mu: float = 1.0, candidates_fn=None,
-) -> HydroResult:
-    """Compacted-active hydro force (see module note). Target fields are
-    indexed globally (the caller merges fresh density results into the
-    full arrays first)."""
-    from gadget_leicester_tpu.ops.neighbors import apply_pairwise_ids
-
-    n = pos.shape[0]
-    rho_safe = jnp.where(rho > 0, rho, 1.0)
-    src_mass = jnp.where(gas_mask, mass, 0.0)
-    c_snd = jnp.sqrt(GAMMA * pressure / rho_safe)
-    p_over_rho2 = pressure / rho_safe**2 * dhsml_factor
-    h_safe = jnp.where(hsml > 0, hsml, 1.0)
-    balsara = jnp.abs(div_vel) / (
-        jnp.abs(div_vel) + curl_vel + 1e-4 * c_snd / h_safe / fac_mu)
-
-    def pair_fn(idx, slots, tp, cand):
-        tv = vel[idx]
-        th, trho, tpor2 = hsml[idx], rho[idx], p_over_rho2[idx]
-        tc, tbal = c_snd[idx], balsara[idx]
-
-        cvalid = cand >= 0
-        ci = jnp.maximum(cand, 0)
-        sp, sv = pos[ci], vel[ci]
-        sm = jnp.where(cvalid, src_mass[ci], 0.0)
-        sh, srho = hsml[ci], rho[ci]
-        spor2, sc, sbal = p_over_rho2[ci], c_snd[ci], balsara[ci]
-        sgm = cvalid & gas_mask[ci]
-
-        dx = tp[:, None, :] - sp
-        if periodic:
-            dx = _min_image(dx, box)
-        r2 = jnp.sum(dx * dx, axis=-1)
-        r = jnp.sqrt(r2)
-        inside = (r < jnp.maximum(th[:, None], sh)) & (r > 0) & sgm
-        rinv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-37), 0.0)
-        dwk_i = kernel_dw_dr(r, th[:, None])
-        dwk_j = kernel_dw_dr(r, sh)
-        dv = tv[:, None, :] - sv
-        vdotr2 = jnp.sum(dv * dx, axis=-1) + hubble_a2_flow * r2
-        approaching = vdotr2 < 0
-        mu_ij = fac_mu * vdotr2 * rinv
-        vsig = tc[:, None] + sc - 3.0 * jnp.where(approaching, mu_ij, 0.0)
-        rho_ij = 0.5 * (trho[:, None] + srho)
-        rho_ij = jnp.where(rho_ij > 0, rho_ij, 1.0)
-        f_ij = 0.5 * (tbal[:, None] + sbal)
-        visc = jnp.where(approaching,
-                         0.5 * visc_const * vsig * (-mu_ij) / rho_ij * f_ij,
-                         0.0)
-        hfc_visc = 0.5 * sm * visc * (dwk_i + dwk_j) * rinv
-        hfc = hfc_visc + sm * (tpor2[:, None] * dwk_i + spor2 * dwk_j) * rinv
-        hfc = jnp.where(inside, hfc, 0.0)
-        hfc_visc = jnp.where(inside, hfc_visc, 0.0)
-        acc = -jnp.einsum("bc,bcd->bd", hfc, dx)
-        dt_ent = 0.5 * jnp.sum(hfc_visc * vdotr2, axis=-1)
-        msv = jnp.max(jnp.where(inside, vsig, 0.0), axis=-1)
-        return acc, dt_ent, msv
-
-    acc, dt_ent, msv = apply_pairwise_ids(cl, pos, ids, pair_fn,
-                                          block=block,
-                                          candidates_fn=candidates_fn)
-    safe = jnp.maximum(ids, 0)
-    valid = (ids >= 0) & gas_mask[safe]
-    dt_ent = dt_ent * GAMMA_MINUS1 / (
-        hubble_a2_norm * rho_safe[safe]**GAMMA_MINUS1)
-    put = jnp.where(valid, safe, n)
-    return HydroResult(
-        acc=_scatter_ids(acc, put, valid, n),
-        dt_entropy=_scatter_ids(dt_ent, put, valid, n),
-        max_signal_vel=_scatter_ids(msv, put, valid, n),
-    )

@@ -76,8 +76,13 @@ class RunLogs:
         known["misc"] = sum(v for k, v in buckets.items()
                             if k not in self.CPU_COLUMNS)
         fh.write(f"Step {step}, Time: {t:g}, CPUs: 1\n")
+        # gravity/hydro/drift/kick are SAMPLED (each phase re-run standalone
+        # at stats cadence, outside the fused step program) — mark them so
+        # readers don't mistake them for in-step measurements
+        cols = [k + "(sampled)" if k in ("gravity", "hydro", "drift", "kick")
+                else k for k in self.CPU_COLUMNS]
         fh.write(" ".join(f"{known[k]:.3f}" for k in self.CPU_COLUMNS)
-                 + "   # " + " ".join(self.CPU_COLUMNS) + "\n")
+                 + "   # " + " ".join(cols) + "\n")
         fh.flush()
 
     # -- timings.txt [G2: gravtree.c FdTimings] -------------------------

@@ -135,25 +135,25 @@ MinGasHsmlFractional 0.1
     ms, _ = timed(step, st)
     print(f"full sync_point_step: {ms:7.1f} ms", flush=True)
 
-    # ---- tile-activity census ----------------------------------------
+    # ---- activity census + entries tier sizing ------------------------
     std = stf       # forces output: grid caches are populated
     p = std.p
     active = (p.ti_endstep == std.ti_current) & p.alive
     from gadget_leicester_tpu.models.grids import sph_blocks_geometry
-    from gadget_leicester_tpu.ops.pallas_cells import (dilate_flags,
-                                                       grav_tile_flags)
-    from gadget_leicester_tpu.ops.sph_blocks import (_needed_odd,
-                                                     sph_block_flags)
+    from gadget_leicester_tpu.ops.pallas_cells import (
+        ENTRY_LANES, build_active_entries, count_active_entries,
+        grav_tile_flags)
+    from gadget_leicester_tpu.ops.sph_blocks import count_block_entries
 
     grids = std.grids
     cl = grids.grav
     n_cells = cl.n_cells
     c3 = n_cells ** 3
     gflags = grav_tile_flags(cl, active, n_cells)
-    gneed = dilate_flags(gflags > 0, n_cells, True)
+    g_entries = count_active_entries(cl, active, ENTRY_LANES)
     print(f"gravity grid {n_cells}^3={c3}: active tiles "
           f"{int(jnp.sum(gflags))} ({float(jnp.mean((gflags > 0) * 1.0)):.1%}),"
-          f" needed {int(jnp.sum(gneed))} ({float(jnp.mean(gneed * 1.0)):.1%})",
+          f" entries {int(g_entries)} (k_max {max(256, (3 * c3) // 4)})",
           flush=True)
 
     cl_e, cl_o = grids.sph
@@ -161,19 +161,16 @@ MinGasHsmlFractional 0.1
     b3 = nb ** 3
     ng = std.gas.n_gas_max
     active_g = active[:ng] & (p.ptype[:ng] == 0) & p.alive[:ng]
-    sflags = sph_block_flags(cl_e, active_g)
-    sneed = _needed_odd(sflags > 0, nb, True)
-    print(f"sph blocks {nb}^3={b3}: active {int(jnp.sum(sflags))} "
-          f"({float(jnp.mean((sflags > 0) * 1.0)):.1%}), needed odd "
-          f"{int(jnp.sum(sneed))} ({float(jnp.mean(sneed * 1.0)):.1%})",
-          flush=True)
+    s_entries = count_block_entries(cl_e, active_g, ENTRY_LANES)
+    print(f"sph blocks {nb}^3={b3}: entries {int(s_entries)} "
+          f"(k_max {2 * b3})", flush=True)
 
-    # ---- gravity dense vs sparse at several capacities ----------------
+    # ---- gravity dense vs entries --------------------------------------
     from gadget_leicester_tpu.models.forces import (SOFTFAC,
                                                     comoving_factors,
                                                     softening_table)
     from gadget_leicester_tpu.ops.pallas_cells import (
-        shortrange_gravity_pallas_dma9, shortrange_gravity_pallas_dma9_sparse)
+        shortrange_gravity_pallas_dma9, shortrange_gravity_pallas_entries)
 
     fac = comoving_factors(cfgh, std.ti_current)
     eps = softening_table(cfgh, fac.atime)
@@ -191,28 +188,21 @@ MinGasHsmlFractional 0.1
     ms, _ = timed(dense, jnp.ones_like(gflags))
     print(f"gravity dense (all-on):     {ms:7.1f} ms", flush=True)
 
-    for div_a, div_p in ((32, 8), (8, 3), (4, 2), (2, 1)):
-        k_act = min(c3, max(128, c3 // div_a))
-        k_pack = min(c3, max(512, c3 // div_p))
-        if int(jnp.sum(gflags)) > k_act or int(jnp.sum(gneed)) > k_pack:
-            print(f"gravity sparse k_act={k_act} k_pack={k_pack}: "
-                  "OVER CAPACITY, skip", flush=True)
-            continue
-        sp = jax.jit(lambda fl, nd, ka=k_act, kp=k_pack:
-                     shortrange_gravity_pallas_dma9_sparse(
-                         p.pos, p.mass, soft, p.alive, box,
-                         n_cells=n_cells, capacity=cap, flags=fl,
-                         needed=nd, k_act=ka, k_pack=kp, cl=cl,
-                         asmth=float(asmth_len), rcut=float(rcut),
-                         periodic=True))
-        ms, _ = timed(sp, gflags, gneed)
-        print(f"gravity sparse k_act={k_act} k_pack={k_pack}: "
-              f"{ms:7.1f} ms", flush=True)
+    k_max = max(256, (3 * c3) // 4)
+    ent = jax.jit(lambda act: shortrange_gravity_pallas_entries(
+        p.pos, p.mass, soft, p.alive, box, n_cells=n_cells, capacity=cap,
+        asmth=float(asmth_len), rcut=float(rcut),
+        entry_cell=build_active_entries(cl, act, ENTRY_LANES, k_max)[0],
+        entry_slot=build_active_entries(cl, act, ENTRY_LANES, k_max)[1],
+        cl=cl, periodic=True))
+    ms, _ = timed(ent, active)
+    print(f"gravity entries (build+kernel+merge, k_max={k_max}): "
+          f"{ms:7.1f} ms", flush=True)
 
-    # ---- SPH dense vs sparse ------------------------------------------
+    # ---- SPH dense vs entries ------------------------------------------
     from gadget_leicester_tpu.models.grids import KAPPA_SPH
     from gadget_leicester_tpu.ops.sph_blocks import (
-        density_adaptive_blocks, density_adaptive_blocks_sparse)
+        density_adaptive_blocks, density_adaptive_blocks_entries)
 
     gas = std.gas
     n_blocks, subcap = sph_blocks_geometry(cfgh, optsh, ng)
@@ -235,25 +225,16 @@ MinGasHsmlFractional 0.1
     ms, _ = timed(ddense)
     print(f"density dense (gated): {ms:7.1f} ms", flush=True)
 
-    b_o = cl_o.cells.shape[0]
-    for div_a, div_p in ((32, 8), (8, 3), (4, 2), (2, 1)):
-        k_act = min(b3, max(64, b3 // div_a))
-        k_pack = min(b_o, max(256, b_o // div_p))
-        if int(jnp.sum(sflags)) > k_act or int(jnp.sum(sneed)) > k_pack:
-            print(f"density sparse k_act={k_act} k_pack={k_pack}: "
-                  "OVER CAPACITY, skip", flush=True)
-            continue
-        dsp = jax.jit(lambda fl, ka=k_act, kp=k_pack:
-                      density_adaptive_blocks_sparse(
-                          pos_g, gas.vel_pred, mass_g, h_in, gas_mask,
-                          act_full, fl, des_num_ngb=cfgh.des_num_ngb,
-                          max_dev=cfgh.max_num_ngb_deviation, box=box,
-                          k_act=ka, k_pack=kp, cls=(cl_e, cl_o),
-                          min_hsml=min_hsml, max_hsml=max_hsml,
-                          periodic=True, interpret=False))
-        ms, _ = timed(dsp, sflags)
-        print(f"density sparse k_act={k_act} k_pack={k_pack}: "
-              f"{ms:7.1f} ms", flush=True)
+    k_max_sph = 2 * b3
+    dent = jax.jit(lambda act: density_adaptive_blocks_entries(
+        pos_g, gas.vel_pred, mass_g, h_in, gas_mask,
+        *build_active_entries(cl_e, act & gas_mask, ENTRY_LANES,
+                              k_max_sph)[:2],
+        des_num_ngb=cfgh.des_num_ngb, max_dev=cfgh.max_num_ngb_deviation,
+        box=box, cls=(cl_e, cl_o), min_hsml=min_hsml,
+        max_hsml=max_hsml, periodic=True, interpret=False))
+    ms, _ = timed(dent, act_full)
+    print(f"density entries (k_max={k_max_sph}): {ms:7.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
