@@ -714,38 +714,61 @@ def build_active_entries(cl: CellList, active, lanes: int, k_max: int):
     A cell with more than ``lanes`` active targets spills into multiple
     consecutive entries (same cell id, disjoint lane groups) — each entry
     re-reads the cell's stencil, which is the right trade at ~2 active
-    targets per cell (measured lcdm_gas activity structure)."""
+    targets per cell (measured lcdm_gas activity structure).
+
+    Cost shape: the heavy steps run over the COMPACTED active-slot list
+    (<= k_max * lanes, via nonzero over the slot flags — naturally
+    cell-grouped because slot order is cell-major), not over [C, cap]:
+    the O(C*cap) work is one gather + one cumsum-based nonzero."""
     cells = cl.cells
     c, cap = cells.shape
+    kc = k_max * lanes
     act = (cells >= 0) & active[jnp.maximum(cells, 0)]
-    ranks = jnp.cumsum(act.astype(jnp.int32), axis=1) - 1     # [C, cap]
+    # counts/groups per cell via an O(C*cap->C) row reduction (cheap);
+    # total never truncates even when the compact list would
     n_act = jnp.sum(act.astype(jnp.int32), axis=1)            # [C]
     groups = (n_act + lanes - 1) // lanes
-    base = jnp.cumsum(groups) - groups
+    base = jnp.cumsum(groups) - groups                        # [C]
     total = jnp.sum(groups)
-    gid = base[:, None] + ranks // lanes
-    lane = ranks % lanes
-    gid_s = jnp.where(act, jnp.minimum(gid, k_max), k_max)
-    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (c, cap), 0)
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (c, cap), 1)
+    # compacted active slots, ascending = grouped by cell. When
+    # total <= k_max, actives <= total*lanes <= kc, so nothing is lost;
+    # otherwise the caller must take the dense path anyway.
+    flat = jnp.nonzero(act.reshape(-1), size=kc, fill_value=-1)[0]
+    valid = flat >= 0
+    fc = jnp.where(valid, flat // cap, c)                     # cell per slot
+    fs = jnp.where(valid, flat % cap, 0)                      # slot-in-cell
+    i_arr = jnp.arange(kc, dtype=jnp.int32)
+    newseg = jnp.concatenate([jnp.ones((1,), bool), fc[1:] != fc[:-1]])
+    first = jax.lax.cummax(jnp.where(newseg, i_arr, 0))
+    rank = i_arr - first                                      # rank in cell
+    gid = base[jnp.minimum(fc, c - 1)] + rank // lanes
+    gid_s = jnp.where(valid, jnp.minimum(gid, k_max), k_max)
+    lane = rank % lanes
     entry_cell = jnp.full((k_max + 1,), -1, jnp.int32).at[gid_s].max(
-        cell_ids, mode="drop")[:k_max]
+        fc.astype(jnp.int32), mode="drop")[:k_max]
     entry_slot = jnp.full((k_max + 1, lanes), -1, jnp.int32).at[
-        gid_s, lane].set(slot_ids, mode="drop")[:k_max]
+        gid_s, lane].set(fs.astype(jnp.int32), mode="drop")[:k_max]
     return entry_cell, entry_slot, total
+
+
+# entries evaluated per kernel grid step: amortizes the per-step loop /
+# output-pipeline overhead and makes padding-tail steps E flag checks
+ENTRIES_PER_BLOCK = 8
 
 
 def _make_kernel_entries(box, asmth, rcut, periodic, n_cells, cap, lanes,
                          with_potential=False):
-    """Gravity kernel over compacted active ENTRIES: grid = (k_max,),
-    each step evaluates <= ``lanes`` active targets of one cell against
-    the full 27-cell stencil, fetched as ONE strided DMA from the
-    _xyzpad_stencil layout and double-buffered ACROSS grid steps (the
-    next entry's stencil streams in while this one computes).
+    """Gravity kernel over compacted active ENTRIES: each grid step
+    evaluates ENTRIES_PER_BLOCK entries; each entry is <= ``lanes``
+    active targets of one cell against the full 27-cell stencil, fetched
+    as ONE strided DMA from the _xyzpad_stencil layout and
+    double-buffered across the flat entry sequence (the next entry's
+    stencil streams in while this one computes).
 
     Per-entry cost: one DMA of [3,3,8,3cap] + 9 x [lanes, 3cap] VPU
     slabs — lanes/cap of the dense tile's arithmetic. Padding entries
     (cell -1) start no DMA and write only zeros."""
+    E = ENTRIES_PER_BLOCK
 
     def dma_for(ecell_ref, src_hbm, buf, sems, e, slot):
         cc = jnp.maximum(ecell_ref[e], 0)
@@ -760,71 +783,78 @@ def _make_kernel_entries(box, asmth, rcut, periodic, n_cells, cap, lanes,
 
     def kernel(ecell_ref, tgt_ref, src_hbm, out_ref, buf, sems):
         i = pl.program_id(0)
-        k_max = pl.num_programs(0)
+        k_max = pl.num_programs(0) * E
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        base = i * E
 
         @pl.when((i == 0) & (ecell_ref[0] >= 0))
         def _():
             dma_for(ecell_ref, src_hbm, buf, sems, 0, 0).start()
 
-        nxt = jnp.minimum(i + 1, k_max - 1)
+        def entry(e, _):
+            j = base + e
+            nxt = jnp.minimum(j + 1, k_max - 1)
 
-        @pl.when((i + 1 < k_max) & (ecell_ref[nxt] >= 0))
-        def _():
-            dma_for(ecell_ref, src_hbm, buf, sems, nxt,
-                    jax.lax.rem(i + 1, 2)).start()
+            @pl.when((j + 1 < k_max) & (ecell_ref[nxt] >= 0))
+            def _():
+                dma_for(ecell_ref, src_hbm, buf, sems, nxt,
+                        jax.lax.rem(j + 1, 2)).start()
 
-        @pl.when(ecell_ref[i] >= 0)
-        def _compute():
-            dma_for(ecell_ref, src_hbm, buf, sems, i,
-                    jax.lax.rem(i, 2)).wait()
-            t = tgt_ref[0]                      # [8, 128]; lanes used
-            tx = t[0, :lanes]
-            ty = t[1, :lanes]
-            tz = t[2, :lanes]
-            tsoft = t[4, :lanes]
-            tsinv = t[6, :lanes]
-            slot = jax.lax.rem(i, 2)
+            @pl.when(ecell_ref[j] >= 0)
+            def _compute():
+                slot = jax.lax.rem(j, 2)
+                dma_for(ecell_ref, src_hbm, buf, sems, j, slot).wait()
+                t = tgt_ref[e]                  # [8, 128]; lanes used
+                tx = t[0, :lanes]
+                ty = t[1, :lanes]
+                tz = t[2, :lanes]
+                tsoft = t[4, :lanes]
+                tsinv = t[6, :lanes]
 
-            def body(j, acc):
-                ax, ay, az, pw = acc
-                s = buf[slot, j // 3, j % 3]    # [8, 3cap]
-                dx = tx[:, None] - s[0, :][None, :]
-                dy = ty[:, None] - s[1, :][None, :]
-                dz = tz[:, None] - s[2, :][None, :]
-                if periodic:
-                    dx = dx - box * jnp.round(dx * (1.0 / box))
-                    dy = dy - box * jnp.round(dy * (1.0 / box))
-                    dz = dz - box * jnp.round(dz * (1.0 / box))
-                r2 = dx * dx + dy * dy + dz * dz
-                rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
-                r = r2 * rinv
-                hh = jnp.maximum(tsoft[:, None], s[4, :][None, :])
-                hhinv = jnp.minimum(tsinv[:, None], s[6, :][None, :])
-                fac = _grav_fac_nodiv(r, rinv, hh, hhinv)
-                if with_potential:
-                    pfac = _grav_pot_nodiv(r, rinv, hh, hhinv)
-                if asmth > 0.0:
-                    fac = fac * _shortrange_trunc_pallas(r, asmth)
-                ok = (r2 < rcut * rcut) & (r2 > 0.0)
-                w = jnp.where(ok, s[3, :][None, :] * fac, 0.0)
-                if with_potential:
+                def body(jj, acc):
+                    ax, ay, az, pw = acc
+                    s = buf[slot, jj // 3, jj % 3]    # [8, 3cap]
+                    dx = tx[:, None] - s[0, :][None, :]
+                    dy = ty[:, None] - s[1, :][None, :]
+                    dz = tz[:, None] - s[2, :][None, :]
+                    if periodic:
+                        dx = dx - box * jnp.round(dx * (1.0 / box))
+                        dy = dy - box * jnp.round(dy * (1.0 / box))
+                        dz = dz - box * jnp.round(dz * (1.0 / box))
+                    r2 = dx * dx + dy * dy + dz * dz
+                    rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
+                    r = r2 * rinv
+                    hh = jnp.maximum(tsoft[:, None], s[4, :][None, :])
+                    hhinv = jnp.minimum(tsinv[:, None], s[6, :][None, :])
+                    fac = _grav_fac_nodiv(r, rinv, hh, hhinv)
+                    if with_potential:
+                        pfac = _grav_pot_nodiv(r, rinv, hh, hhinv)
                     if asmth > 0.0:
-                        pfac = pfac * _erfc_trunc_pallas(r, asmth)
-                    wp = jnp.where(ok, s[3, :][None, :] * pfac, 0.0)
-                    pw = pw + jnp.sum(wp, axis=1)
-                return (ax - jnp.sum(w * dx, axis=1),
-                        ay - jnp.sum(w * dy, axis=1),
-                        az - jnp.sum(w * dz, axis=1),
-                        pw)
+                        fac = fac * _shortrange_trunc_pallas(r, asmth)
+                    ok = (r2 < rcut * rcut) & (r2 > 0.0)
+                    w = jnp.where(ok, s[3, :][None, :] * fac, 0.0)
+                    if with_potential:
+                        if asmth > 0.0:
+                            pfac = pfac * _erfc_trunc_pallas(r, asmth)
+                        wp = jnp.where(ok, s[3, :][None, :] * pfac, 0.0)
+                        pw = pw + jnp.sum(wp, axis=1)
+                    return (ax - jnp.sum(w * dx, axis=1),
+                            ay - jnp.sum(w * dy, axis=1),
+                            az - jnp.sum(w * dz, axis=1),
+                            pw)
 
-            z0 = jnp.zeros((lanes,), t.dtype)
-            ax, ay, az, pw = jax.lax.fori_loop(0, 9, body, (z0, z0, z0, z0))
-            out_ref[0, 0, :lanes] = ax
-            out_ref[0, 1, :lanes] = ay
-            out_ref[0, 2, :lanes] = az
-            if with_potential:
-                out_ref[0, 3, :lanes] = pw
+                z0 = jnp.zeros((lanes,), t.dtype)
+                ax, ay, az, pw = jax.lax.fori_loop(0, 9, body,
+                                                   (z0, z0, z0, z0))
+                out_ref[e, 0, :lanes] = ax
+                out_ref[e, 1, :lanes] = ay
+                out_ref[e, 2, :lanes] = az
+                if with_potential:
+                    out_ref[e, 3, :lanes] = pw
+
+            return 0
+
+        jax.lax.fori_loop(0, E, entry, 0)
 
     return kernel
 
@@ -867,25 +897,34 @@ def shortrange_gravity_pallas_entries(
         tgt = jnp.zeros((k_max, 8, 128), pos.dtype)
         tgt = tgt.at[:, :, :lanes].set(rows.transpose(0, 2, 1))
 
+    e_blk = ENTRIES_PER_BLOCK
+    k_pad = ((k_max + e_blk - 1) // e_blk) * e_blk
+    if k_pad != k_max:
+        entry_cell = jnp.concatenate(
+            [entry_cell, jnp.full((k_pad - k_max,), -1, jnp.int32)])
+        tgt = jnp.concatenate(
+            [tgt, jnp.zeros((k_pad - k_max, 8, 128), tgt.dtype)])
     out = pl.pallas_call(
         _make_kernel_entries(float(box), asmth, rcut, periodic, n_cells,
                              cap, lanes, with_potential=with_potential),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(k_max,),
+            grid=(k_pad // e_blk,),
             in_specs=[
-                pl.BlockSpec((1, 8, 128), lambda ei, *_: (ei, 0, 0)),
+                pl.BlockSpec((e_blk, 8, 128), lambda bi, *_: (bi, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 8, 128), lambda ei, *_: (ei, 0, 0)),
+            out_specs=pl.BlockSpec((e_blk, 8, 128),
+                                   lambda bi, *_: (bi, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, 3, 3, 8, 3 * cap), soa.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((k_max, 8, 128), soa.dtype),
+        out_shape=jax.ShapeDtypeStruct((k_pad, 8, 128), soa.dtype),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(entry_cell, tgt, soa_x)
+    out = out[:k_max]
 
     with jax.named_scope("sr_entries_merge"):
         fidx = jnp.where(valid, pidx, n_p).reshape(-1)

@@ -820,60 +820,69 @@ def _make_sph_entries_kernel(box, periodic, nb, lanes, L, kind,
                 jnp.maximum(msv_a, msv))
 
     def kernel(eblk_ref, *refs):
+        from gadget_leicester_tpu.ops.pallas_cells import ENTRIES_PER_BLOCK
+        E = ENTRIES_PER_BLOCK
         if kind == "hydro":
             params_ref, tgt_ref, src_hbm, out_ref, buf, sems = refs
         else:
             tgt_ref, h_ref, src_hbm, out_ref, buf, sems = refs
         i = pl.program_id(0)
-        k_max = pl.num_programs(0)
+        k_max = pl.num_programs(0) * E
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        base = i * E
 
         @pl.when((i == 0) & (eblk_ref[0] >= 0))
         def _():
             dma_for(eblk_ref, src_hbm, buf, sems, 0, 0).start()
 
-        nxt = jnp.minimum(i + 1, k_max - 1)
+        def entry(e, _):
+            j = base + e
+            nxt = jnp.minimum(j + 1, k_max - 1)
 
-        @pl.when((i + 1 < k_max) & (eblk_ref[nxt] >= 0))
-        def _():
-            dma_for(eblk_ref, src_hbm, buf, sems, nxt,
-                    jax.lax.rem(i + 1, 2)).start()
+            @pl.when((j + 1 < k_max) & (eblk_ref[nxt] >= 0))
+            def _():
+                dma_for(eblk_ref, src_hbm, buf, sems, nxt,
+                        jax.lax.rem(j + 1, 2)).start()
 
-        @pl.when(eblk_ref[i] >= 0)
-        def _compute():
-            slot = jax.lax.rem(i, 2)
-            dma_for(eblk_ref, src_hbm, buf, sems, i, slot).wait()
-            t = tgt_ref[0]
-            z0 = jnp.zeros((L,), jnp.float32)
-            if kind == "hydro":
-                params = (params_ref[0, 0], params_ref[0, 1])
+            @pl.when(eblk_ref[j] >= 0)
+            def _compute():
+                slot = jax.lax.rem(j, 2)
+                dma_for(eblk_ref, src_hbm, buf, sems, j, slot).wait()
+                t = tgt_ref[e]
+                z0 = jnp.zeros((L,), jnp.float32)
+                if kind == "hydro":
+                    params = (params_ref[0, 0], params_ref[0, 1])
 
-                def body(g, acc):
-                    s = buf[slot, g >> 2, (g >> 1) & 1, g & 1]
-                    return hydro_compute(params, t, s, acc)
+                    def body(g, acc):
+                        s = buf[slot, g >> 2, (g >> 1) & 1, g & 1]
+                        return hydro_compute(params, t, s, acc)
 
-                ax, ay, az, dte, msv = jax.lax.fori_loop(
-                    0, 8, body, (z0, z0, z0, z0, z0))
-                out_ref[0, 0, :L] = ax
-                out_ref[0, 1, :L] = ay
-                out_ref[0, 2, :L] = az
-                out_ref[0, 3, :L] = dte
-                out_ref[0, 4, :L] = msv
-            else:
-                ht = h_ref[0, 0, :L][:, None]
+                    ax, ay, az, dte, msv = jax.lax.fori_loop(
+                        0, 8, body, (z0, z0, z0, z0, z0))
+                    out_ref[e, 0, :L] = ax
+                    out_ref[e, 1, :L] = ay
+                    out_ref[e, 2, :L] = az
+                    out_ref[e, 3, :L] = dte
+                    out_ref[e, 4, :L] = msv
+                else:
+                    ht = h_ref[e, 0, :L][:, None]
 
-                def body(g, acc):
-                    s = buf[slot, g >> 2, (g >> 1) & 1, g & 1]
-                    return density_compute(t, ht, s, acc)
+                    def body(g, acc):
+                        s = buf[slot, g >> 2, (g >> 1) & 1, g & 1]
+                        return density_compute(t, ht, s, acc)
 
-                rho, drhodh, divv, rx, ry, rz = jax.lax.fori_loop(
-                    0, 8, body, (z0, z0, z0, z0, z0, z0))
-                out_ref[0, 0, :L] = rho
-                out_ref[0, 1, :L] = drhodh
-                out_ref[0, 2, :L] = divv
-                out_ref[0, 3, :L] = rx
-                out_ref[0, 4, :L] = ry
-                out_ref[0, 5, :L] = rz
+                    rho, drhodh, divv, rx, ry, rz = jax.lax.fori_loop(
+                        0, 8, body, (z0, z0, z0, z0, z0, z0))
+                    out_ref[e, 0, :L] = rho
+                    out_ref[e, 1, :L] = drhodh
+                    out_ref[e, 2, :L] = divv
+                    out_ref[e, 3, :L] = rx
+                    out_ref[e, 4, :L] = ry
+                    out_ref[e, 5, :L] = rz
+
+            return 0
+
+        jax.lax.fori_loop(0, E, entry, 0)
 
     return kernel
 
@@ -886,32 +895,46 @@ def density_sums_blocks_entries(cl_e: CellList, tgt, h_tiles, src_pad,
     ``tgt`` [k_max, 8, 128] target rows (first L lanes live); ``h_tiles``
     [k_max, 128] per-lane smoothing lengths; ``src_pad`` from
     _xyzpad_odd_full."""
-    from gadget_leicester_tpu.ops.pallas_cells import ENTRY_LANES
+    from gadget_leicester_tpu.ops.pallas_cells import (ENTRIES_PER_BLOCK,
+                                                       ENTRY_LANES)
     k_max = tgt.shape[0]
     nb = cl_e.n_cells
     lanes = cl_e.cells.shape[1]
-    return pl.pallas_call(
+    e_blk = ENTRIES_PER_BLOCK
+    k_pad = ((k_max + e_blk - 1) // e_blk) * e_blk
+    h_tiles = h_tiles.reshape(k_max, 1, 128)
+    if k_pad != k_max:
+        pad = k_pad - k_max
+        entry_blk = jnp.concatenate(
+            [entry_blk, jnp.full((pad,), -1, jnp.int32)])
+        tgt = jnp.concatenate(
+            [tgt, jnp.zeros((pad, 8, 128), tgt.dtype)])
+        h_tiles = jnp.concatenate(
+            [h_tiles, jnp.ones((pad, 1, 128), h_tiles.dtype)])
+    out = pl.pallas_call(
         _make_sph_entries_kernel(float(box), cl_e.periodic, nb, lanes,
                                  ENTRY_LANES, "density"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(k_max,),
+            grid=(k_pad // e_blk,),
             in_specs=[
-                pl.BlockSpec((1, 8, 128), lambda ei, *_: (ei, 0, 0)),
-                pl.BlockSpec((1, 1, 128), lambda ei, *_: (ei, 0, 0)),
+                pl.BlockSpec((e_blk, 8, 128), lambda bi, *_: (bi, 0, 0)),
+                pl.BlockSpec((e_blk, 1, 128), lambda bi, *_: (bi, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 8, 128), lambda ei, *_: (ei, 0, 0)),
+            out_specs=pl.BlockSpec((e_blk, 8, 128),
+                                   lambda bi, *_: (bi, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, 2, 2, 2, 8, lanes), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((k_max, 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k_pad, 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(entry_blk, tgt, h_tiles.reshape(k_max, 1, 128), src_pad)
+    )(entry_blk, tgt, h_tiles, src_pad)
+    return out[:k_max]
 
 
 def hydro_sums_blocks_entries(cl_e: CellList, tgt16, src_pad, entry_blk,
@@ -921,36 +944,47 @@ def hydro_sums_blocks_entries(cl_e: CellList, tgt16, src_pad, entry_blk,
     """Hydro sweep over compacted active entries. ``tgt16``
     [k_max, 16, 128]: rows 0-7 = kinematics (h at 7), 8-11 = rho,
     p_over_rho2*f, c_snd, balsara."""
-    from gadget_leicester_tpu.ops.pallas_cells import ENTRY_LANES
+    from gadget_leicester_tpu.ops.pallas_cells import (ENTRIES_PER_BLOCK,
+                                                       ENTRY_LANES)
     k_max = tgt16.shape[0]
     nb = cl_e.n_cells
     lanes = cl_e.cells.shape[1]
     params = jnp.stack([jnp.asarray(hubble_a2_flow, jnp.float32),
                         jnp.asarray(fac_mu, jnp.float32)]).reshape(1, 2)
-    return pl.pallas_call(
+    e_blk = ENTRIES_PER_BLOCK
+    k_pad = ((k_max + e_blk - 1) // e_blk) * e_blk
+    if k_pad != k_max:
+        pad = k_pad - k_max
+        entry_blk = jnp.concatenate(
+            [entry_blk, jnp.full((pad,), -1, jnp.int32)])
+        tgt16 = jnp.concatenate(
+            [tgt16, jnp.zeros((pad, 16, 128), tgt16.dtype)])
+    out = pl.pallas_call(
         _make_sph_entries_kernel(float(box), cl_e.periodic, nb, lanes,
                                  ENTRY_LANES, "hydro",
                                  visc_const=float(visc_const)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(k_max,),
+            grid=(k_pad // e_blk,),
             in_specs=[
-                pl.BlockSpec((1, 2), lambda ei, *_: (0, 0),
+                pl.BlockSpec((1, 2), lambda bi, *_: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 16, 128), lambda ei, *_: (ei, 0, 0)),
+                pl.BlockSpec((e_blk, 16, 128), lambda bi, *_: (bi, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 8, 128), lambda ei, *_: (ei, 0, 0)),
+            out_specs=pl.BlockSpec((e_blk, 8, 128),
+                                   lambda bi, *_: (bi, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, 2, 2, 2, 16, lanes), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((k_max, 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k_pad, 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(entry_blk, params, tgt16, src_pad)
+    return out[:k_max]
 
 
 def _entries_target_gather(cl_e: CellList, entry_cell, entry_slot, table,
