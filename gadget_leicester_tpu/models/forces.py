@@ -304,6 +304,13 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
 
     def compute_pm(_):
         with jax.named_scope("pm"):
+            # NOTE(round 4): the cell-tile Pallas CIC gather
+            # (ops.pm_tiles.pm_gather_tiles) is parity-tested and compiles
+            # at this scale, but wired here it measured a NET LOSS
+            # (1.69M vs 1.80M upd/s at 128^3): its c3-step kernel grid,
+            # a second pack_cells_soa, and the [c3*cap] scatter-merge eat
+            # the row-gather savings. Keep the row gather until the tile
+            # path shares the SR pack and merges cell-major (round 5).
             if with_pot:
                 a, pt = pm_forces_periodic(p.pos, p.mass, p.alive, box, g,
                                            with_potential=True)

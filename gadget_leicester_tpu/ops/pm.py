@@ -125,7 +125,8 @@ def greens_function(n: int, box: float, asmth_grid: float, dtype=jnp.float32):
     return jnp.where(k2 > 0, g, 0.0)
 
 
-@partial(hybrid_jit, static_argnames=("n", "gradient", "with_potential"))
+@partial(hybrid_jit, static_argnames=("n", "gradient", "with_potential",
+                                      "return_field"))
 def pm_forces_periodic(
     pos,
     mass,
@@ -135,6 +136,7 @@ def pm_forces_periodic(
     asmth_grid: float = ASMTH,
     gradient: str = "fd4",
     with_potential: bool = False,
+    return_field: bool = False,
 ):
     """Long-range accelerations (no G factor), periodic box.
 
@@ -143,6 +145,9 @@ def pm_forces_periodic(
     more accurate at the Nyquist end).
     Returns acc[N,3], or (acc, pot[N]) when with_potential (sharing the
     deposit + forward FFT — the potential is a free CIC gather of phi).
+    ``return_field``: skip the per-particle gather and return the mesh
+    force stack [n,n,n,3(+1)] instead — the cell-tile gather
+    (ops.pm_tiles.pm_gather_tiles) interpolates it on TPU.
     """
     f = pos.dtype
     m = jnp.where(alive, mass, 0.0).astype(f)
@@ -177,6 +182,8 @@ def pm_forces_periodic(
     if with_potential:
         comp.append(phi)  # fold phi into the vector gather (one pass)
     force = jnp.stack(comp, axis=-1)
+    if return_field:
+        return force
     out = cic_gather_vec(force, posw, box, n)
     acc = jnp.where(alive[:, None], out[:, :3], 0.0)
     if with_potential:
