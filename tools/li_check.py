@@ -3,6 +3,12 @@
 (VERDICT r1 item 5; gate |dE_LI|/|W| < 1e-3, BASELINE.json).
 
 Usage: python -u tools/li_check.py [n_side] [a_end] [stats_every]
+
+RESUMABLE (VERDICT r3 item 6): every stats cadence the run writes a
+bitwise restart dump + the tracker's integral state to
+/tmp/li_resume_{n_side}.npz; a re-run with the same n_side picks up from
+the dump instead of re-integrating from a=0.0909, so a wall-budget kill
+costs at most one cadence of progress. Delete the dump to start fresh.
 """
 import os
 import sys
@@ -64,14 +70,38 @@ MinGasHsmlFractional 0.1
     opts = SimOptions(periodic=True, pmgrid=pmgrid, gravity_mode="treepm",
                       sph_backend="auto", sph_capacity=sph_cap,
                       sr_capacity=sr_cap)
-    sim = Simulation(cfg, opts)
-    pos, vel, mass, ptype, u = lcdm_gas_ics(
-        n_side=n_side, box=box, omega0=0.3, omega_b=0.04,
-        hubble=cfg.hubble_internal, g=cfg.grav_internal)
-    sim.set_ics(pos, vel, mass, ptype, u=u)
-    print(f"N={2*n_side**3} pmgrid={pmgrid} a: 0.0909 -> {a_end}", flush=True)
+    import dataclasses
+    import json
+    from gadget_leicester_tpu.io.restart import load_restart, save_restart
+    from gadget_leicester_tpu.models.grids import make_grid_cache
 
+    resume_path = f"/tmp/li_resume_{n_side}.npz"
     tracker = LayzerIrvineTracker()
+    sim = Simulation(cfg, opts)
+    if os.path.exists(resume_path):
+        state, meta = load_restart(resume_path)
+        sim.state = dataclasses.replace(
+            state, grids=make_grid_cache(cfg, opts, state.p.n_max,
+                                         state.gas.n_gas_max))
+        li = json.loads(meta["li_tracker"])
+        tracker._prev = tuple(li["prev"]) if li["prev"] else None
+        tracker._integral = li["integral"]
+        tracker._e0 = li["e0"]
+        print(f"RESUME from {resume_path}: a={sim.time:.4f} "
+              f"integral={tracker._integral:.6g}", flush=True)
+    else:
+        pos, vel, mass, ptype, u = lcdm_gas_ics(
+            n_side=n_side, box=box, omega0=0.3, omega_b=0.04,
+            hubble=cfg.hubble_internal, g=cfg.grav_internal)
+        sim.set_ics(pos, vel, mass, ptype, u=u)
+    print(f"N={2*n_side**3} pmgrid={pmgrid} a: {sim.time:.4f} -> {a_end}",
+          flush=True)
+
+    def dump():
+        li = {"prev": list(tracker._prev) if tracker._prev else None,
+              "integral": tracker._integral, "e0": tracker._e0}
+        save_restart(resume_path, sim.canonical_state(),
+                     extra_meta={"li_tracker": json.dumps(li)})
 
     def stats():
         sim.state = potential_pass(sim.state, cfg, opts)
@@ -92,6 +122,7 @@ MinGasHsmlFractional 0.1
         sim.step(every)
         nstep += every
         drift = stats()
+        dump()
     print(f"steps={nstep} wall={time.time()-t0:.0f}s final drift={drift:.3e}",
           flush=True)
     print("PASS" if drift < 1e-3 else "FAIL", flush=True)
