@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gadget_leicester_tpu.ops.neighbors import CellList, build_cell_list
+from gadget_leicester_tpu.ops.neighbors import (CellList, _axes3,
+                                                build_cell_list)
 
 
 def pack_cells_soa(cl: CellList, pos, mass, soft, alive, needed=None,
@@ -155,18 +156,47 @@ def _grav_pot_nodiv(r, rinv, h, hinv):
                      jnp.where(u < 1.0, hinv * wp_outer, -rinv))
 
 
+def _vmem_limit(need_bytes: int) -> int:
+    """Scoped-VMEM allowance for kernels whose pairwise temporaries can
+    exceed Mosaic's 16 MB default at large cell capacities (SPMD slab
+    grids, overflow-driven capacity bumps). ``need_bytes`` is the
+    caller's estimate of simultaneously-live pair matrices; clamped
+    well inside the 128 MB v5e VMEM so the pipeline keeps headroom."""
+    return int(min(100 * 2**20, max(16 * 2**20, need_bytes)))
+
+
 def _decode_cell(ci, n):
-    cx = ci // (n * n)
-    rem = ci % (n * n)
-    return cx, rem // n, rem % n
+    """Flat cell id -> (cx, cy, cz). ``n`` int (cube) or (nx, ny, nz) —
+    anisotropic grids serve the SPMD slab domains (clamped x, periodic
+    y/z) with the SAME kernels as the cubic single-chip path."""
+    nx, ny, nz = _axes3(n)
+    cx = ci // (ny * nz)
+    rem = ci % (ny * nz)
+    return cx, rem // nz, rem % nz
 
 
 def _stencil_offsets(j):
     return j // 9 - 1, (j // 3) % 3 - 1, j % 3 - 1
 
 
+def _nbr_valid_f32(c, j, n_cells, periodic):
+    """1.0 where stencil neighbour j of cell c is a real (in-range) cell;
+    0.0 where a clamped axis pushed it out of the grid."""
+    _, valid = _nbr_cid_traced(c, j, n_cells, periodic)
+    return jnp.float32(1.0) if valid is None else valid.astype(jnp.float32)
+
+
+def _src_index3(ci, j, n_cells, periodic):
+    """BlockSpec index_map for the j-th stencil source of target cell ci
+    (per-axis wrap/clamp — anisotropic SPMD slab grids included)."""
+    cid, _ = _nbr_cid_traced(ci, j, n_cells, periodic)
+    return (cid, 0, 0)
+
+
 def _make_kernel(box, asmth, rcut, periodic, n_cells):
     from gadget_leicester_tpu.ops.softening import grav_fac
+
+    px, py, pz = _axes3(periodic)
 
     def kernel(tgt_ref, src_ref, out_ref):
         j = pl.program_id(1)
@@ -176,24 +206,18 @@ def _make_kernel(box, asmth, rcut, periodic, n_cells):
             out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
         c = pl.program_id(0)
-        if periodic:
-            valid_nbr = jnp.float32(1.0)
-        else:
-            cx, cy, cz = _decode_cell(c, n_cells)
-            ox, oy, oz = _stencil_offsets(j)
-            inb = ((cx + ox >= 0) & (cx + ox < n_cells)
-                   & (cy + oy >= 0) & (cy + oy < n_cells)
-                   & (cz + oz >= 0) & (cz + oz < n_cells))
-            valid_nbr = inb.astype(jnp.float32)
+        valid_nbr = _nbr_valid_f32(c, j, n_cells, periodic)
 
         t = tgt_ref[0]            # [8, cap]
         s = src_ref[0]
         dx = t[0, :][:, None] - s[0, :][None, :]
         dy = t[1, :][:, None] - s[1, :][None, :]
         dz = t[2, :][:, None] - s[2, :][None, :]
-        if periodic:
+        if px:
             dx = dx - box * jnp.round(dx * (1.0 / box))
+        if py:
             dy = dy - box * jnp.round(dy * (1.0 / box))
+        if pz:
             dz = dz - box * jnp.round(dz * (1.0 / box))
         r2 = dx * dx + dy * dy + dz * dz
         rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
@@ -218,21 +242,23 @@ def _make_kernel(box, asmth, rcut, periodic, n_cells):
 
 
 def _nbr_cid_traced(c, j, n, periodic):
-    """Flat cell id of stencil neighbour j of cell c (traced arithmetic)."""
-    cx = c // (n * n)
-    rem = c % (n * n)
-    cy, cz = rem // n, rem % n
+    """Flat cell id of stencil neighbour j of cell c (traced arithmetic).
+    ``n``/``periodic`` int/bool or per-axis tuples; returns (cid, valid)
+    with valid None when every axis is periodic (all neighbours real)."""
+    nv = _axes3(n)
+    pv = _axes3(periodic)
+    cx, cy, cz = _decode_cell(c, n)
     ox, oy, oz = j // 9 - 1, (j // 3) % 3 - 1, j % 3 - 1
-    if periodic:
-        nx, ny, nz = (cx + ox) % n, (cy + oy) % n, (cz + oz) % n
-        valid = None
-    else:
-        nx = jnp.clip(cx + ox, 0, n - 1)
-        ny = jnp.clip(cy + oy, 0, n - 1)
-        nz = jnp.clip(cz + oz, 0, n - 1)
-        valid = ((cx + ox >= 0) & (cx + ox < n) & (cy + oy >= 0)
-                 & (cy + oy < n) & (cz + oz >= 0) & (cz + oz < n))
-    return (nx * n + ny) * n + nz, valid
+    cs, valid = [], None
+    for ck, ok, nk, pk in ((cx, ox, nv[0], pv[0]), (cy, oy, nv[1], pv[1]),
+                           (cz, oz, nv[2], pv[2])):
+        if pk:
+            cs.append((ck + ok) % nk)
+        else:
+            cs.append(jnp.clip(ck + ok, 0, nk - 1))
+            inb = (ck + ok >= 0) & (ck + ok < nk)
+            valid = inb if valid is None else (valid & inb)
+    return (cs[0] * nv[1] + cs[1]) * nv[2] + cs[2], valid
 
 
 def _make_kernel_dma(box, asmth, rcut, periodic, n_cells, cap,
@@ -439,7 +465,14 @@ def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap,
 
     ``sparse``: the grid runs over a COMPACTED active-tile list — the
     prefetched vector holds real flat cell ids (-1 = padding) instead of
-    0/1 flags, and the target block is the i-th compacted tile."""
+    0/1 flags, and the target block is the i-th compacted tile.
+
+    ``n_cells``/``periodic`` accept per-axis tuples: the SPMD slab
+    domains (clamped x, periodic y/z — parallel/spmd.py) run the SAME
+    kernel as the cubic single-chip path, with the minimum image applied
+    only on periodic axes (slab-frame x is contiguous by construction)."""
+    nxc, nyc, nzc = _axes3(n_cells)
+    px, py, pz = _axes3(periodic)
 
     def kernel(flag_ref, tgt_ref, src_hbm, out_ref, buf, sems):
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
@@ -455,21 +488,18 @@ def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap,
                 _run(tgt_ref, src_hbm, out_ref, buf, sems, pl.program_id(0))
 
     def _run(tgt_ref, src_hbm, out_ref, buf, sems, c):
-        n = n_cells
-        cx = c // (n * n)
-        rem = c % (n * n)
-        cy, cz = rem // n, rem % n
+        cx = c // (nyc * nzc)
+        rem = c % (nyc * nzc)
+        cy, cz = rem // nzc, rem % nzc
         t = tgt_ref[0]
 
         def dma(j, slot):
             dxo, dyo = j // 3 - 1, j % 3 - 1
-            if periodic:
-                nx_ = (cx + dxo) % n
-                ny_ = (cy + dyo) % n
-            else:
-                nx_ = jnp.clip(cx + dxo, 0, n - 1)
-                ny_ = jnp.clip(cy + dyo, 0, n - 1)
-            row = nx_ * n + ny_
+            nx_ = ((cx + dxo) % nxc if px
+                   else jnp.clip(cx + dxo, 0, nxc - 1))
+            ny_ = ((cy + dyo) % nyc if py
+                   else jnp.clip(cy + dyo, 0, nyc - 1))
+            row = nx_ * nyc + ny_
             return pltpu.make_async_copy(
                 src_hbm.at[row, :, pl.ds(cz * cap, 3 * cap)],
                 buf.at[slot], sems.at[slot])
@@ -488,18 +518,21 @@ def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap,
             dma(j, slot).wait()
             s = buf[slot]
             dxo, dyo = j // 3 - 1, j % 3 - 1
-            # per-pair minimum image on ALL axes (not per-tile wrap
+            # per-pair minimum image on PERIODIC axes (not per-tile wrap
             # shifts): stale cached assignments (models.grids) can hold a
             # particle that has drifted across the periodic wrap, where a
             # tile-constant shift would mis-place it by a box length;
             # min-image is shift-invariant mod box so it is exact for any
-            # in-margin staleness
+            # in-margin staleness. Clamped axes (SPMD slab x) are
+            # contiguous in the slab frame — plain differences.
             dx = t[0, :][:, None] - s[0, :][None, :]
             dy = t[1, :][:, None] - s[1, :][None, :]
             dz = t[2, :][:, None] - s[2, :][None, :]
-            if periodic:
+            if px:
                 dx = dx - box * jnp.round(dx * (1.0 / box))
+            if py:
                 dy = dy - box * jnp.round(dy * (1.0 / box))
+            if pz:
                 dz = dz - box * jnp.round(dz * (1.0 / box))
             r2 = dx * dx + dy * dy + dz * dz
             rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
@@ -530,10 +563,13 @@ def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap,
             # (pack_cells_soa / _zpad_columns) and fac is finite
             # everywhere, so m*fac is an exact 0 there
             ok = (r2 < rcut * rcut) & (r2 > 0.0)
-            if not periodic:
+            if not (px and py):
                 # clamped columns at the x/y edges must not re-count
-                inb = ((cx + dxo >= 0) & (cx + dxo < n)
-                       & (cy + dyo >= 0) & (cy + dyo < n))
+                inb = True
+                if not px:
+                    inb = (cx + dxo >= 0) & (cx + dxo < nxc) & inb
+                if not py:
+                    inb = (cy + dyo >= 0) & (cy + dyo < nyc) & inb
                 ok = ok & inb
             w = jnp.where(ok, s[3, :][None, :] * fac, 0.0)
             if with_potential:
@@ -557,19 +593,23 @@ def _make_kernel_dma9(box, asmth, rcut, periodic, n_cells, cap,
     return kernel
 
 
-def _zpad_columns(soa, n: int, cap: int, periodic: bool):
-    """[C,8,cap] -> z-column layout [n*n, 8, (n+2)*cap]: each (x,y) row
+def _zpad_columns(soa, n, cap: int, periodic):
+    """[C,8,cap] -> z-column layout [nx*ny, 8, (nz+2)*cap]: each (x,y) row
     carries its z-cells contiguously in the lane dim, with wrap copies at
-    both ends, so a (dx,dy) stencil column is ONE contiguous DMA."""
-    arr = soa.reshape(n, n, n, 8, cap)
-    if periodic:
+    both ends, so a (dx,dy) stencil column is ONE contiguous DMA.
+    ``n``/``periodic`` int/bool or per-axis tuples (z padding follows the
+    z-axis periodicity)."""
+    nx, ny, nz = _axes3(n)
+    pz = _axes3(periodic)[2]
+    arr = soa.reshape(nx, ny, nz, 8, cap)
+    if pz:
         lo, hi = arr[:, :, -1:], arr[:, :, :1]
     else:
         # non-periodic: dead padding (mass 0, parked positions)
         lo = jnp.zeros_like(arr[:, :, :1]).at[..., :3, :].set(-7e3)
         hi = lo
-    arr = jnp.concatenate([lo, arr, hi], axis=2)      # [n,n,n+2,8,cap]
-    return arr.transpose(0, 1, 3, 2, 4).reshape(n * n, 8, (n + 2) * cap)
+    arr = jnp.concatenate([lo, arr, hi], axis=2)      # [nx,ny,nz+2,8,cap]
+    return arr.transpose(0, 1, 3, 2, 4).reshape(nx * ny, 8, (nz + 2) * cap)
 
 
 @partial(hybrid_jit, static_argnames=("box", "n_cells", "capacity", "periodic",
@@ -622,6 +662,9 @@ def shortrange_gravity_pallas_dma9(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((c, 8, cap), soa.dtype),
+        # ~10 live [cap, 3cap] pair matrices in the kernel body
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(10 * 4 * cap * 3 * cap)),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(flags, soa, soa_z)
 
@@ -966,13 +1009,17 @@ def pack_sph_soa(cl: CellList, pos, vel, mass, hsml, gas_mask, needed=None):
 def _pair_geometry(t, s, box, periodic):
     """Returns (dx, dy, dz, r, rinv) — rinv via rsqrt (no division);
     rinv is large-but-finite at r=0 and every user multiplies it by a
-    factor that is exactly 0 there."""
+    factor that is exactly 0 there. ``periodic`` bool or per-axis tuple
+    (minimum image only on periodic axes)."""
+    px, py, pz = _axes3(periodic)
     dx = t[0, :][:, None] - s[0, :][None, :]
     dy = t[1, :][:, None] - s[1, :][None, :]
     dz = t[2, :][:, None] - s[2, :][None, :]
-    if periodic:
+    if px:
         dx = dx - box * jnp.round(dx * (1.0 / box))
+    if py:
         dy = dy - box * jnp.round(dy * (1.0 / box))
+    if pz:
         dz = dz - box * jnp.round(dz * (1.0 / box))
     r2 = dx * dx + dy * dy + dz * dz
     rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
@@ -990,16 +1037,7 @@ def _make_density_kernel(box, periodic, n_cells):
         def _():
             out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-        if periodic:
-            vnb = jnp.float32(1.0)
-        else:
-            c = pl.program_id(0)
-            cx, cy, cz = _decode_cell(c, n_cells)
-            ox, oy, oz = _stencil_offsets(j)
-            inb = ((cx + ox >= 0) & (cx + ox < n_cells)
-                   & (cy + oy >= 0) & (cy + oy < n_cells)
-                   & (cz + oz >= 0) & (cz + oz < n_cells))
-            vnb = inb.astype(jnp.float32)
+        vnb = _nbr_valid_f32(pl.program_id(0), j, n_cells, periodic)
 
         t = tgt_ref[0]
         s = src_ref[0]
@@ -1033,18 +1071,20 @@ def _make_density_kernel(box, periodic, n_cells):
 def _make_density_kernel_dma(box, periodic, n_cells, cap):
     """Density sweep, DMA-streamed: one grid step per target cell, stencil
     sources double-buffered, per-tile wrap shift, accumulators carried in
-    registers (single output write)."""
+    registers (single output write). ``n_cells``/``periodic`` accept
+    per-axis tuples (SPMD slab grids)."""
     from gadget_leicester_tpu.ops.sph_kernels import (kernel_dw_dr,
                                                       kernel_w_and_dwdh)
+    nxc, nyc, nzc = _axes3(n_cells)
+    px, py, pz = _axes3(periodic)
 
     def kernel(tgt_ref, h_ref, src_hbm, out_ref, buf, sems):
         c = pl.program_id(0)
         t = tgt_ref[0]
         ht = h_ref[0, 0, :][:, None]
-        n = n_cells
-        ccx = c // (n * n)
-        crem = c % (n * n)
-        ccy, ccz = crem // n, crem % n
+        ccx = c // (nyc * nzc)
+        crem = c % (nyc * nzc)
+        ccy, ccz = crem // nzc, crem % nzc
 
         def dma(j, slot):
             cid, _ = _nbr_cid_traced(c, j, n_cells, periodic)
@@ -1065,20 +1105,22 @@ def _make_density_kernel_dma(box, periodic, n_cells, cap):
             dma(j, slot).wait()
             s = buf[slot]
             ox, oy, oz = j // 9 - 1, (j // 3) % 3 - 1, j % 3 - 1
-            if periodic:
-                shx = (jnp.where(ccx + ox < 0, -box, 0.0)
-                       + jnp.where(ccx + ox >= n, box, 0.0))
-                shy = (jnp.where(ccy + oy < 0, -box, 0.0)
-                       + jnp.where(ccy + oy >= n, box, 0.0))
-                shz = (jnp.where(ccz + oz < 0, -box, 0.0)
-                       + jnp.where(ccz + oz >= n, box, 0.0))
-                vnb = jnp.float32(1.0)
-            else:
-                shx = shy = shz = jnp.float32(0.0)
-                inb = ((ccx + ox >= 0) & (ccx + ox < n)
-                       & (ccy + oy >= 0) & (ccy + oy < n)
-                       & (ccz + oz >= 0) & (ccz + oz < n))
-                vnb = inb.astype(jnp.float32)
+
+            def axis(cc, o, nk, pk):
+                # periodic axis: per-tile wrap shift, always valid;
+                # clamped axis: no shift, out-of-range tiles masked out
+                if pk:
+                    sh = (jnp.where(cc + o < 0, -box, 0.0)
+                          + jnp.where(cc + o >= nk, box, 0.0))
+                    return sh, True
+                return jnp.float32(0.0), (cc + o >= 0) & (cc + o < nk)
+
+            shx, vx = axis(ccx, ox, nxc, px)
+            shy, vy = axis(ccy, oy, nyc, py)
+            shz, vz = axis(ccz, oz, nzc, pz)
+            inb = vx & vy & vz
+            vnb = (jnp.float32(1.0) if inb is True
+                   else jnp.asarray(inb).astype(jnp.float32))
             dx = t[0, :][:, None] - (s[0, :] + shx)[None, :]
             dy = t[1, :][:, None] - (s[1, :] + shy)[None, :]
             dz = t[2, :][:, None] - (s[2, :] + shz)[None, :]
@@ -1133,6 +1175,9 @@ def density_sums_pallas_dma(cl: CellList, soa, h_slots, box: float,
             pltpu.VMEM((2, 8, cap), soa.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # ~24 live [cap, cap] pair matrices (W/dW evals + accumulators)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(24 * 4 * cap * cap)),
     )(soa, h_slots.reshape(c, 1, cap), soa)
 
 
@@ -1147,15 +1192,7 @@ def density_sums_pallas(cl: CellList, soa, h_slots, box: float,
     periodic = cl.periodic
 
     def src_index(ci, j):
-        cx, cy, cz = _decode_cell(ci, n)
-        ox, oy, oz = _stencil_offsets(j)
-        if periodic:
-            nx, ny, nz = (cx + ox) % n, (cy + oy) % n, (cz + oz) % n
-        else:
-            nx = jnp.clip(cx + ox, 0, n - 1)
-            ny = jnp.clip(cy + oy, 0, n - 1)
-            nz = jnp.clip(cz + oz, 0, n - 1)
-        return ((nx * n + ny) * n + nz, 0, 0)
+        return _src_index3(ci, j, n, periodic)
 
     grid_spec = pl.GridSpec(
         grid=(c, 27),
@@ -1187,16 +1224,7 @@ def _make_hydro_kernel(box, periodic, n_cells, visc_const):
         def _():
             out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-        if periodic:
-            vnb = jnp.float32(1.0)
-        else:
-            c = pl.program_id(0)
-            cx, cy, cz = _decode_cell(c, n_cells)
-            ox, oy, oz = _stencil_offsets(j)
-            inb = ((cx + ox >= 0) & (cx + ox < n_cells)
-                   & (cy + oy >= 0) & (cy + oy < n_cells)
-                   & (cz + oz >= 0) & (cz + oz < n_cells))
-            vnb = inb.astype(jnp.float32)
+        vnb = _nbr_valid_f32(pl.program_id(0), j, n_cells, periodic)
 
         ta, tb = tgt_a[0], tgt_b[0]
         sa, sb = src_a[0], src_b[0]
@@ -1251,15 +1279,7 @@ def hydro_sums_pallas(cl: CellList, soa_a, soa_b, box: float, n_cells: int,
     periodic = cl.periodic
 
     def src_index(ci, j):
-        cx, cy, cz = _decode_cell(ci, n)
-        ox, oy, oz = _stencil_offsets(j)
-        if periodic:
-            nx, ny, nz = (cx + ox) % n, (cy + oy) % n, (cz + oz) % n
-        else:
-            nx = jnp.clip(cx + ox, 0, n - 1)
-            ny = jnp.clip(cy + oy, 0, n - 1)
-            nz = jnp.clip(cz + oz, 0, n - 1)
-        return ((nx * n + ny) * n + nz, 0, 0)
+        return _src_index3(ci, j, n, periodic)
 
     params = jnp.stack([jnp.asarray(hubble_a2_flow, soa_a.dtype),
                         jnp.asarray(fac_mu, soa_a.dtype)]).reshape(1, 2)
@@ -1279,6 +1299,9 @@ def hydro_sums_pallas(cl: CellList, soa_a, soa_b, box: float, n_cells: int,
         _make_hydro_kernel(float(box), periodic, n, float(visc_const)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c, 8, cap), soa_a.dtype),
+        # ~28 live [cap, cap] pair matrices in the hydro body
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(28 * 4 * cap * cap)),
         interpret=interpret,
     )(params, soa_a, soa_b, soa_a, soa_b)
 
@@ -1290,6 +1313,7 @@ def density_adaptive_pallas(
     min_hsml: float = 0.0, max_hsml=None,
     periodic: bool = True, max_iters: int = 40,
     origin=0.0, extent=None, interpret: bool = False,
+    n_targets: int | None = None, cl: CellList | None = None,
 ):
     """Adaptive-h density solve on the Pallas sweep (API mirrors
     ops.sph_cells.density_adaptive_cells; returns (DensityResult, CellList)).
@@ -1299,22 +1323,30 @@ def density_adaptive_pallas(
     kernel output — no per-iteration particle gathers/scatters (those cost
     more than the kernel at production sizes). Particle-space fields are
     produced by one scatter set at the end.
+
+    ``n_targets``: only rows < n_targets iterate/converge and appear in
+    the outputs (sized n_targets); later rows (SPMD slab ghosts) source
+    the sums but are never targets. ``cl``: optional prebuilt cell list
+    (anisotropic SPMD grids pass theirs; must match origin/extent).
     """
     from gadget_leicester_tpu.ops.sph_dense import (DensityResult,
                                                     density_adaptive_generic)
 
     extent = box if extent is None else extent
-    cl = build_cell_list(pos, gas_mask, origin, extent, n_cells=n_cells,
-                         capacity=capacity, periodic=periodic)
+    if cl is None:
+        cl = build_cell_list(pos, gas_mask, origin, extent, n_cells=n_cells,
+                             capacity=capacity, periodic=periodic)
     ng = pos.shape[0]
+    nt = ng if n_targets is None else n_targets
     c, cap = cl.cells.shape
 
     base_soa = pack_sph_soa(cl, pos, vel, mass,
                             jnp.ones(ng, pos.dtype), gas_mask)
     idx = jnp.maximum(cl.cells, 0)
     valid = (cl.cells >= 0) & gas_mask[idx]
+    tgt_valid = valid & (idx < nt) if nt != ng else valid
     mass_slots = base_soa[:, 3, :].reshape(-1)
-    mask_slots = valid.reshape(-1)
+    mask_slots = tgt_valid.reshape(-1)
     h0_slots = jnp.where(valid, hsml0[idx], 1.0).reshape(-1)
 
     def sweep(h_slots):
@@ -1336,12 +1368,13 @@ def density_adaptive_pallas(
         sweep, mass_slots, h0_slots, mask_slots, des_num_ngb, max_dev,
         min_hsml=min_hsml, max_hsml=max_hsml, max_iters=max_iters)
 
-    # slot space -> particle space (single scatter per field)
-    flat_idx = jnp.where(mask_slots, idx.reshape(-1), ng)
+    # slot space -> particle space (single scatter per field; ghost
+    # slots — idx >= n_targets — are dropped)
+    flat_idx = jnp.where(mask_slots, idx.reshape(-1), nt)
 
     def to_part(x_slots, fill=0.0):
-        return jnp.full((ng + 1,), fill, x_slots.dtype).at[flat_idx].set(
-            x_slots, mode="drop")[:ng]
+        return jnp.full((nt + 1,), fill, x_slots.dtype).at[flat_idx].set(
+            x_slots, mode="drop")[:nt]
 
     res = DensityResult(
         rho=to_part(res_slots.rho),
@@ -1360,14 +1393,16 @@ def hydro_force_pallas(
     div_vel, curl_vel, gas_mask, visc_const: float,
     box: float, n_cells: int,
     hubble_a2_flow=0.0, hubble_a2_norm=1.0, fac_mu=1.0,
-    interpret: bool = False,
+    interpret: bool = False, n_targets: int | None = None,
 ):
     """Entropy-form hydro force on the Pallas sweep (API mirrors
-    ops.sph_cells.hydro_force_cells; cl from density_adaptive_pallas)."""
+    ops.sph_cells.hydro_force_cells; cl from density_adaptive_pallas).
+    ``n_targets``: outputs sized n_targets; rows beyond it (SPMD ghosts)
+    source the pair sums only."""
     from gadget_leicester_tpu.core.config import GAMMA, GAMMA_MINUS1
     from gadget_leicester_tpu.ops.sph_dense import HydroResult
 
-    ng = pos.shape[0]
+    ng = pos.shape[0] if n_targets is None else n_targets
     rho_safe = jnp.where(rho > 0, rho, 1.0)
     c_snd = jnp.sqrt(GAMMA * pressure / rho_safe)
     p_over_rho2 = pressure / rho_safe**2 * dhsml_factor
@@ -1388,8 +1423,9 @@ def hydro_force_pallas(
                                                 rows=(0, 1, 2, 3, 4))
     acc = jnp.stack([ax, ay, az], axis=-1)
     dt_ent = dt_raw * GAMMA_MINUS1 / (
-        jnp.asarray(hubble_a2_norm, rho.dtype) * rho_safe**GAMMA_MINUS1)
-    gm = gas_mask
+        jnp.asarray(hubble_a2_norm, rho.dtype)
+        * rho_safe[:ng]**GAMMA_MINUS1)
+    gm = gas_mask[:ng]
     return HydroResult(
         acc=jnp.where(gm[:, None], acc, 0.0),
         dt_entropy=jnp.where(gm, dt_ent, 0.0),
@@ -1440,15 +1476,7 @@ def shortrange_gravity_pallas(
 
     def src_index(ci, j):
         # neighbour cell id from pure grid-index arithmetic (no SMEM tables)
-        cx, cy, cz = _decode_cell(ci, n)
-        ox, oy, oz = _stencil_offsets(j)
-        if periodic:
-            nx, ny, nz = (cx + ox) % n, (cy + oy) % n, (cz + oz) % n
-        else:
-            nx = jnp.clip(cx + ox, 0, n - 1)
-            ny = jnp.clip(cy + oy, 0, n - 1)
-            nz = jnp.clip(cz + oz, 0, n - 1)
-        return ((nx * n + ny) * n + nz, 0, 0)
+        return _src_index3(ci, j, n, periodic)
 
     grid_spec = pl.GridSpec(
         grid=(c, 27),

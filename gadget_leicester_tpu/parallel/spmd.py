@@ -95,8 +95,15 @@ def spmd_min_width(cfg: SimConfig, opts: SimOptions, n_gas: int) -> float:
     return max(rcut, cell_sph) * 1.02
 
 
+# slot head-room of the slab layout: to_spmd sizes per-shard chunks as
+# ceil(max_shard_count / SLAB_FILL) — so SLAB_FILL * n_slots is also the
+# step's estimator of the REAL max-shard particle count (grid occupancy
+# tuning must not count dead padding; see _gravity/_sph)
+SLAB_FILL = 0.6
+
+
 def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
-            fill_frac: float = 0.6, edges=None, min_width: float = 0.0):
+            fill_frac: float = SLAB_FILL, edges=None, min_width: float = 0.0):
     """Re-lay a canonical SimState into the per-shard slab layout.
 
     Each shard's chunk is [cap_g gas slots | cap_r other slots]; global
@@ -289,6 +296,20 @@ def _wrap_to_slab(x, xc, box):
     return xc + (x - xc) - box * jnp.round((x - xc) / box)
 
 
+def _ghost_x(gx, x0, x1, margin, box, gcap):
+    """Directional ghost-x mapping for a [2*gcap] _ghost_exchange buffer:
+    the from-left half lands in [x0-margin, x0+...), the from-right half
+    in [x1, x1+margin+...). The slab-CENTRE wrap is ambiguous for d <= 2
+    (at d=1 both halves come from the SAME slab and must land on
+    OPPOSITE faces; the centre wrap drops a ghost onto its original,
+    doubling boundary-cell occupancy and hiding it from the far face's
+    stencil) — the per-face mod is exact for every d."""
+    lo = x0 - margin
+    gl = lo + jnp.mod(gx[:gcap] - lo, box)
+    gr = x1 + jnp.mod(gx[gcap:] - x1, box)
+    return jnp.concatenate([gl, gr])
+
+
 def _ghost_cap(n_local: int, reach: float, w_min: float,
                frac_override: float = 0.0) -> int:
     """Static per-direction ghost-buffer capacity: boundary-strip
@@ -350,6 +371,44 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         raise ValueError(f"min slab width {w_min:.1f} < rcut {rcut:.1f}: "
                          "fewer shards or finer PM mesh")
     nyz = max(3, int(box / rcut))
+    # the SAME Pallas kernels as the single-chip hot path serve the slab
+    # domains (anisotropic grids: clamped x, periodic y/z) [G2: the
+    # reference's MPI ranks run the same force loops as serial]. CPU
+    # meshes (tests / opts.use_pallas="on" off-TPU) run interpret mode.
+    use_pallas = opts.use_pallas == "on" or (
+        opts.use_pallas == "auto" and jax.default_backend() == "tpu")
+    pallas_interp = jax.default_backend() != "tpu"
+
+    def _occ_grid(n_cat, span_x, reach, cap, nyz0):
+        """Coarsen the reach-fine (nx, nyz) slab grid until the mean
+        slot fill reaches ~0.8 of the Pallas lane cap — the
+        grav_grid_geometry tuning applied to the anisotropic slab
+        domain. Cell edges never shrink below ``reach``, so the
+        27-stencil always covers the interaction range; coarser cells
+        are always safe (more pairs scanned, none lost)."""
+        def _nx(nyz):
+            return max(1, int(span_x / (box / nyz)))
+        nyz_e = nyz0
+        while (nyz_e > 4
+               and n_cat / (_nx(nyz_e - 1) * (nyz_e - 1) ** 2)
+               <= 0.8 * cap):
+            nyz_e -= 1
+        return _nx(nyz_e), nyz_e
+
+    def _occ_cap(n_cat, n_cells_est, base):
+        """Lane capacity for the Pallas tiles: 128 when the reach-fine
+        grid's estimated mean fill allows it, auto-scaled in 128-lane
+        steps when even the FINEST grid packs more than ~0.8*128 slots
+        per cell (small boxes with large reach: pair tiles must hold
+        whole lattice planes). Clamped at 512 lanes — pair temporaries
+        grow as cap^2 and must stay inside the scoped-VMEM budget; the
+        sticky-overflow -> host-bump path covers anything deeper
+        [G2: gravtree.c realloc-on-overflow]. ``n_cat`` counts SLOTS
+        (dead padding included), so the estimate is conservative."""
+        if base > 0:
+            return max(128, ((base + 127) // 128) * 128)
+        est = n_cat / max(1, n_cells_est)
+        return max(128, min(512, (-(-int(est / 0.8) // 128)) * 128))
 
     def _migrate(st, me):
         p = st.p
@@ -419,11 +478,13 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                                     with_potential=True)
             return a * cfg.grav_internal, pt
 
-        acc_pm, pot = jax.lax.cond(
-            is_pm_step, compute_pm,
-            lambda _: (p.acc_pm,
-                       p.pot_pm / jnp.maximum(cfg.grav_internal, 1e-37)),
-            operand=None)
+        with jax.named_scope("spmd_pm"):
+            acc_pm, pot = jax.lax.cond(
+                is_pm_step, compute_pm,
+                lambda _: (p.acc_pm,
+                           p.pot_pm / jnp.maximum(cfg.grav_internal,
+                                                  1e-37)),
+                operand=None)
 
         # O(surface) ghost buffers [G2: gravtree.c exports only flagged
         # boundary particles, bounded by BufferSize]: the strip within
@@ -431,11 +492,13 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         # 2x safety for clustering + the chunk-fill headroom. Overflow
         # raises flag bit 1 and the host re-runs with a bigger fraction.
         gcap = _ghost_cap(p.n_max, rcut, w_min, opts.spmd_ghost_frac)
-        ghosts, gvalid, ovf = _ghost_exchange(
-            [p.pos, p.mass, soft], jnp.mod(p.pos[:, 0], box), p.alive,
-            x0, x1, rcut, gcap, d)
+        with jax.named_scope("spmd_ghosts_grav"):
+            ghosts, gvalid, ovf = _ghost_exchange(
+                [p.pos, p.mass, soft], jnp.mod(p.pos[:, 0], box), p.alive,
+                x0, x1, rcut, gcap, d)
         gpos, gmass, gsoft = ghosts
-        gpos = gpos.at[:, 0].set(_wrap_to_slab(gpos[:, 0], xc, box))
+        gpos = gpos.at[:, 0].set(_ghost_x(gpos[:, 0], x0, x1, rcut,
+                                           box, gcap))
         lpos = p.pos.at[:, 0].set(
             _wrap_to_slab(jnp.mod(p.pos[:, 0], box), xc, box))
         cat_pos = jnp.concatenate([lpos, gpos])
@@ -444,25 +507,61 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         cat_alive = jnp.concatenate([p.alive, gvalid])
 
         ext_x = (x1 - x0) + 2.0 * rcut
-        nx = max(1, int((w_min + 2.0 * rcut) / rcut))
         # occupancy-derived capacity (local grids are small; 3x headroom)
         n_cat = cat_pos.shape[0]
-        cap_sr = opts.sr_capacity if opts.sr_capacity > 0 else max(
-            64, -(-3 * n_cat // (nx * nyz * nyz) // 8) * 8)
-        cl = build_cell_list(
-            cat_pos, cat_alive,
-            origin=jnp.stack([x0 - rcut, jnp.float32(0.0),
-                              jnp.float32(0.0)]).astype(lpos.dtype),
-            extent=jnp.stack([ext_x, jnp.float32(box),
-                              jnp.float32(box)]).astype(lpos.dtype),
-            n_cells=(nx, nyz, nyz),
-            capacity=cap_sr,
-            periodic=(False, True, True))
+        if use_pallas:
+            # pair-tile work scales with the lane cap at fixed fill:
+            # estimate the REAL per-shard occupancy, not slot counts —
+            # n_cat counts the to_spmd fill-factor padding AND both
+            # ghost caps (2x+ the alive count at small d; measured 4.9x
+            # step cost at 64^3 mesh=1 when the slot count inflated the
+            # cap to 384 and over-coarsened the grid). to_spmd sizes
+            # slots as ceil(max_shard_count / SLAB_FILL), so
+            # SLAB_FILL * slots ~= the real max-shard count; ghosts add
+            # ~2 strips of reach/w_min each (1.5x clustering safety).
+            # COARSEN the grid toward ~0.8 mean fill at the chosen cap —
+            # the single-chip grav_grid_geometry tuning. Overflow flags
+            # + host capacity bumps cover deep clustering
+            # [G2: gravtree.c realloc-on-overflow].
+            n_est = int(SLAB_FILL * p.n_max * (1.0 + 3.0 * rcut / w_min))
+            nx0 = max(1, int((w_min + 2.0 * rcut) / (box / nyz)))
+            cap_sr = _occ_cap(n_est, nx0 * nyz * nyz, opts.sr_capacity)
+            nx, nyz_g = _occ_grid(n_est, w_min + 2.0 * rcut, rcut,
+                                  cap_sr, nyz)
+        else:
+            nx = max(1, int((w_min + 2.0 * rcut) / rcut))
+            nyz_g = nyz
+            cap_sr = opts.sr_capacity if opts.sr_capacity > 0 else max(
+                64, -(-3 * n_cat // (nx * nyz * nyz) // 8) * 8)
+        with jax.named_scope("spmd_sr_build"):
+            cl = build_cell_list(
+                cat_pos, cat_alive,
+                origin=jnp.stack([x0 - rcut, jnp.float32(0.0),
+                                  jnp.float32(0.0)]).astype(lpos.dtype),
+                extent=jnp.stack([ext_x, jnp.float32(box),
+                                  jnp.float32(box)]).astype(lpos.dtype),
+                n_cells=(nx, nyz_g, nyz_g),
+                capacity=cap_sr,
+                periodic=(False, True, True))
         # sinks/Stamatellos consume the potential every sync point, so
         # add the fresh short-range term in-step (the single-chip analog
         # in forces._treepm_gravity) [G2: potential.c with PMGRID]
         want_sr_pot = opts.sinks or opts.cooling == "stamatellos"
-        if want_sr_pot:
+        if use_pallas:
+            from gadget_leicester_tpu.ops.pallas_cells import \
+                shortrange_gravity_pallas_dma9
+            with jax.named_scope("spmd_sr_kernel"):
+                res = shortrange_gravity_pallas_dma9(
+                    cat_pos, cat_mass, cat_soft, cat_alive, box=box,
+                    n_cells=(nx, nyz_g, nyz_g), capacity=cap_sr,
+                    asmth=asmth_len, rcut=rcut,
+                    periodic=(False, True, True), active=None, cl=cl,
+                    with_potential=want_sr_pot, interpret=pallas_interp)
+            if want_sr_pot:
+                acc_sr, pot_sr = res[0][:p.n_max], res[1][:p.n_max]
+            else:
+                acc_sr = res[0][:p.n_max]
+        elif want_sr_pot:
             acc_sr, pot_sr = shortrange_gravity_cells(
                 cl, cat_pos, cat_mass, cat_soft, cat_alive,
                 asmth_len, rcut, box=box, periodic=True,
@@ -513,9 +612,19 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         # SPH cell edge (and h cap): the single-device auto heuristic on
         # the GLOBAL gas count so results match the replicated run
         n_glob = ng * d
-        spacing_cells = (n_glob ** (1.0 / 3.0)) / (
-            1.6 * (3.0 * cfg.des_num_ngb / (4.0 * 3.14159)) ** (1.0 / 3.0))
-        n_sph = max(3, int(spacing_cells))
+        if use_pallas:
+            # the single-chip Pallas tuning (sph_cells_geometry): target
+            # mean occupancy ~100 for a 128-lane tile — the fine spacing
+            # grid at 128 lanes runs ~0.3 fill. REAL global gas count
+            # (slot counts carry the to_spmd fill padding). Floored so
+            # the cell edge (= ghost reach) never exceeds a slab width.
+            n_sph = max(3, int(round((SLAB_FILL * n_glob / 100.0)
+                                     ** (1.0 / 3.0))),
+                        int(np.ceil(1.02 * box / w_min)))
+        else:
+            spacing_cells = (n_glob ** (1.0 / 3.0)) / (
+                1.6 * (3.0 * cfg.des_num_ngb / (4.0 * 3.14159)) ** (1. / 3))
+            n_sph = max(3, int(spacing_cells))
         cell_sph = box / n_sph
         if w_min < cell_sph:
             raise ValueError("slab thinner than the SPH cell edge")
@@ -528,13 +637,15 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         h0 = jnp.minimum(gas.hsml, max_hsml)
 
         # ---- round 1: kinematic ghosts for the density solve -----------
-        ghosts, gvalid, ovf1 = _ghost_exchange(
-            [p.pos[:ng], gas.vel_pred, p.mass[:ng],
-             gas_mask.astype(jnp.int32)],
-            jnp.mod(p.pos[:ng, 0], box), gas_mask, x0, x1, cell_sph,
-            gcap, d)
+        with jax.named_scope("spmd_ghosts_sph1"):
+            ghosts, gvalid, ovf1 = _ghost_exchange(
+                [p.pos[:ng], gas.vel_pred, p.mass[:ng],
+                 gas_mask.astype(jnp.int32)],
+                jnp.mod(p.pos[:ng, 0], box), gas_mask, x0, x1, cell_sph,
+                gcap, d)
         gpos, gvel, gmass, gmask_i = ghosts
-        gpos = gpos.at[:, 0].set(_wrap_to_slab(gpos[:, 0], xc, box))
+        gpos = gpos.at[:, 0].set(_ghost_x(gpos[:, 0], x0, x1, cell_sph,
+                                           box, gcap))
         gv = gvalid & (gmask_i > 0)
         cat_pos = jnp.concatenate([lpos, gpos])
         cat_vel = jnp.concatenate([gas.vel_pred, gvel])
@@ -544,8 +655,16 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         nx = max(1, int((w_min + 2 * cell_sph) / cell_sph))
         ext_x_s = (x1 - x0) + 2 * cell_sph
         n_cat = cat_pos.shape[0]
-        cap_sph = opts.sph_capacity if opts.sph_capacity > 0 else max(
-            64, -(-3 * n_cat // (nx * n_sph * n_sph) // 8) * 8)
+        if use_pallas:
+            # lane tiles at the occupancy-tuned grid (see n_sph),
+            # auto-scaled when even this grid packs > ~0.8*128 per cell;
+            # REAL-count estimate, not slot counts (see _gravity)
+            n_est = int(SLAB_FILL * ng * (1.0 + 3.0 * cell_sph / w_min))
+            cap_sph = _occ_cap(n_est, nx * n_sph * n_sph,
+                               opts.sph_capacity)
+        else:
+            cap_sph = opts.sph_capacity if opts.sph_capacity > 0 else max(
+                64, -(-3 * n_cat // (nx * n_sph * n_sph) // 8) * 8)
         cl = build_cell_list(
             cat_pos, cat_mask,
             origin=jnp.stack([x0 - cell_sph, jnp.float32(0.0),
@@ -555,13 +674,26 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
             n_cells=(nx, n_sph, n_sph),
             capacity=cap_sph,
             periodic=(False, True, True))
-        dres = density_adaptive_cells(
-            cl, cat_pos, cat_vel, cat_mass, jnp.concatenate(
-                [h0, jnp.full((2 * gcap,), 1.0, h0.dtype)]),
-            cat_mask, des_num_ngb=cfg.des_num_ngb,
-            max_dev=cfg.max_num_ngb_deviation,
-            min_hsml=min_hsml, max_hsml=max_hsml,
-            box=box, periodic=True, n_targets=ng)
+        h_cat = jnp.concatenate([h0, jnp.full((2 * gcap,), 1.0, h0.dtype)])
+        if use_pallas:
+            from gadget_leicester_tpu.ops.pallas_cells import \
+                density_adaptive_pallas
+            with jax.named_scope("spmd_sph_density"):
+                dres, _ = density_adaptive_pallas(
+                    cat_pos, cat_vel, cat_mass, h_cat, cat_mask,
+                    des_num_ngb=cfg.des_num_ngb,
+                    max_dev=cfg.max_num_ngb_deviation,
+                    box=box, n_cells=(nx, n_sph, n_sph), capacity=cap_sph,
+                    min_hsml=min_hsml, max_hsml=max_hsml,
+                    periodic=(False, True, True), interpret=pallas_interp,
+                    n_targets=ng, cl=cl)
+        else:
+            dres = density_adaptive_cells(
+                cl, cat_pos, cat_vel, cat_mass, h_cat,
+                cat_mask, des_num_ngb=cfg.des_num_ngb,
+                max_dev=cfg.max_num_ngb_deviation,
+                min_hsml=min_hsml, max_hsml=max_hsml,
+                box=box, periodic=True, n_targets=ng)
 
         rho = jnp.where(active_g, dres.rho, gas.density)
         hsml = jnp.where(active_g, dres.hsml, gas.hsml)
@@ -578,14 +710,17 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         pressure = jnp.where(gas_mask, pressure, 0.0)
 
         # ---- round 2: hydro ghosts (post-density fields) ----------------
-        ghosts2, gvalid2, ovf2 = _ghost_exchange(
-            [p.pos[:ng], gas.vel_pred, p.mass[:ng], hsml, rho, pressure,
-             dhf, divv, curlv, gas_mask.astype(jnp.int32)],
-            jnp.mod(p.pos[:ng, 0], box), gas_mask, x0, x1, cell_sph,
-            gcap, d)
+        with jax.named_scope("spmd_ghosts_sph2"):
+            ghosts2, gvalid2, ovf2 = _ghost_exchange(
+                [p.pos[:ng], gas.vel_pred, p.mass[:ng], hsml, rho,
+                 pressure, dhf, divv, curlv,
+                 gas_mask.astype(jnp.int32)],
+                jnp.mod(p.pos[:ng, 0], box), gas_mask, x0, x1, cell_sph,
+                gcap, d)
         (g2pos, g2vel, g2mass, g2h, g2rho, g2prs, g2dhf, g2div, g2curl,
          g2mask_i) = ghosts2
-        g2pos = g2pos.at[:, 0].set(_wrap_to_slab(g2pos[:, 0], xc, box))
+        g2pos = g2pos.at[:, 0].set(_ghost_x(g2pos[:, 0], x0, x1,
+                                             cell_sph, box, gcap))
         gv2 = gvalid2 & (g2mask_i > 0)
         cat2 = dict(
             pos=jnp.concatenate([lpos, g2pos]),
@@ -599,23 +734,33 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
             curl=jnp.concatenate([curlv, g2curl]),
             mask=jnp.concatenate([gas_mask, gv2]),
         )
-        cl2 = build_cell_list(
-            cat2["pos"], cat2["mask"],
-            origin=jnp.stack([x0 - cell_sph, jnp.float32(0.0),
-                              jnp.float32(0.0)]).astype(lpos.dtype),
-            extent=jnp.stack([ext_x_s, jnp.float32(box),
-                              jnp.float32(box)]).astype(lpos.dtype),
-            n_cells=(nx, n_sph, n_sph),
-            capacity=cap_sph,
-            periodic=(False, True, True))
-        hres = hydro_force_cells(
-            cl2, cat2["pos"], cat2["vel"], cat2["mass"], cat2["hsml"],
-            cat2["rho"], cat2["prs"], cat2["dhf"], cat2["div"],
-            cat2["curl"], cat2["mask"],
-            visc_const=cfg.art_bulk_visc_const, box=box, periodic=True,
-            hubble_a2_flow=fac.hubble_a2_flow,
-            hubble_a2_norm=fac.hubble_a2_norm, fac_mu=fac.fac_mu,
-            n_targets=ng)
+        # the hydro pass reuses the density cell list: cat2's positions
+        # and mask are IDENTICAL to round 1's (same locals, same
+        # deterministic boundary-strip packing — only field VALUES
+        # changed), and cell membership depends on position only
+        cl2 = cl
+        if use_pallas:
+            from gadget_leicester_tpu.ops.pallas_cells import \
+                hydro_force_pallas
+            with jax.named_scope("spmd_sph_hydro"):
+                hres = hydro_force_pallas(
+                    cl2, cat2["pos"], cat2["vel"], cat2["mass"],
+                    cat2["hsml"], cat2["rho"], cat2["prs"], cat2["dhf"],
+                    cat2["div"], cat2["curl"], cat2["mask"],
+                    visc_const=cfg.art_bulk_visc_const, box=box,
+                    n_cells=(nx, n_sph, n_sph),
+                    hubble_a2_flow=fac.hubble_a2_flow,
+                    hubble_a2_norm=fac.hubble_a2_norm, fac_mu=fac.fac_mu,
+                    interpret=pallas_interp, n_targets=ng)
+        else:
+            hres = hydro_force_cells(
+                cl2, cat2["pos"], cat2["vel"], cat2["mass"], cat2["hsml"],
+                cat2["rho"], cat2["prs"], cat2["dhf"], cat2["div"],
+                cat2["curl"], cat2["mask"],
+                visc_const=cfg.art_bulk_visc_const, box=box, periodic=True,
+                hubble_a2_flow=fac.hubble_a2_flow,
+                hubble_a2_norm=fac.hubble_a2_norm, fac_mu=fac.fac_mu,
+                n_targets=ng)
 
         hydro_acc = jnp.where(active_g[:, None], hres.acc, gas.hydro_acc)
         dt_entropy = jnp.where(active_g, hres.dt_entropy, gas.dt_entropy)
@@ -803,21 +948,26 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         ti_next = jax.lax.pmin(ti_local, AXIS)
         ti_next = jnp.minimum(ti_next, st.pm_ti_endstep)
 
-        st = integrate.drift_all(st, cfg, opts, ti_next)
+        with jax.named_scope("spmd_drift"):
+            st = integrate.drift_all(st, cfg, opts, ti_next)
         is_pm_step = st.ti_current == st.pm_ti_endstep
 
-        st = _migrate(st, me)
-        st, active = _gravity(st, me, x0, x1, xc, is_pm_step)
+        with jax.named_scope("spmd_migrate"):
+            st = _migrate(st, me)
+        with jax.named_scope("spmd_gravity"):
+            st, active = _gravity(st, me, x0, x1, xc, is_pm_step)
         if st.gas.n_gas_max > 1:
-            st = _sph(st, me, x0, x1, xc, active)
+            with jax.named_scope("spmd_sph"):
+                st = _sph(st, me, x0, x1, xc, active)
         if opts.cooling != "none":
             from gadget_leicester_tpu.models.cooling import apply_cooling
             st = apply_cooling(st, cfg, opts)
         if opts.sinks:
             st = _sinks(st, me)
-        st = integrate.advance_and_find_timesteps(st, cfg, opts)
-        st = integrate.pm_step_update(st, cfg, opts, is_pm_step,
-                                      axis_name=AXIS)
+        with jax.named_scope("spmd_kick"):
+            st = integrate.advance_and_find_timesteps(st, cfg, opts)
+            st = integrate.pm_step_update(st, cfg, opts, is_pm_step,
+                                          axis_name=AXIS)
         # overflow bits are shard-local; OR them across shards (psum per
         # bit) so the replicated scalar out-spec is valid and the host
         # sees every shard's trouble
