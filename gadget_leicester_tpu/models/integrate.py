@@ -238,7 +238,7 @@ def advance_and_find_timesteps(state: SimState, cfg: SimConfig,
 
 
 def pm_step_update(state: SimState, cfg: SimConfig, opts: SimOptions,
-                   is_pm_step, axis_name=None) -> SimState:
+                   is_pm_step, axis_name=None, pm_box=None) -> SimState:
     """PM-step kick + new PM interval [G2: timestep.c PM part].
 
     At PM steps (ti_current == pm_ti_endstep) ALL particles receive the
@@ -262,7 +262,10 @@ def pm_step_update(state: SimState, cfg: SimConfig, opts: SimOptions,
         m_sum = jax.lax.psum(m_sum, axis_name)
     vrms = jnp.sqrt(mv2_sum / jnp.maximum(m_sum, 1e-37))
     vrms = jnp.maximum(vrms, 1e-30)
-    dsp = cfg.max_rms_displacement_fac * cfg.box_size / max(opts.pmgrid, 1)
+    # PM mesh-cell size: cfg.box_size normally; vacuum SPMD passes the
+    # static domain extent (cfg.box_size may be 0 in vacuum runs)
+    mesh_span = cfg.box_size if pm_box is None else pm_box
+    dsp = cfg.max_rms_displacement_fac * mesh_span / max(opts.pmgrid, 1)
     if cfg.comoving_integration_on:
         # comoving displacement dx = vel * int dt/a^2 ~ vel * dloga/(a^2 H)
         dt = dsp * fac.atime**2 * fac.hubble_a / vrms

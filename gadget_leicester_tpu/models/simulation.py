@@ -302,6 +302,7 @@ class Simulation:
         self.mesh = None
         self.spmd_edges = None      # current slab boundaries [d+1]
         self.spmd_caps = None       # (cap_g, cap_r) per shard
+        self.spmd_domain = None     # vacuum: (origin[3], extent) cube
         self._spmd_step = None      # jitted shard_map step
         if mesh is not None:
             from jax.sharding import Mesh as _Mesh
@@ -385,9 +386,30 @@ class Simulation:
             to_spmd)
         if self.spmd_caps is not None:
             self.state = spmd_to_canonical(self.state, *self.spmd_caps)
-        mw = spmd_min_width(self.cfg, self.opts, self.state.gas.n_gas_max)
+        domain = None
+        if not self.opts.periodic:
+            # vacuum: re-fit the static domain cube to the current
+            # particle cloud with 15%-per-side headroom (escapees raise
+            # flag bit 4, which lands back here) [G2: pm_nonperiodic.c
+            # mesh placement + domain.c]
+            import numpy as np
+            pos = np.asarray(self.state.p.pos)
+            alive = np.asarray(self.state.p.alive)
+            lo = pos[alive].min(axis=0)
+            hi = pos[alive].max(axis=0)
+            ext = float((hi - lo).max()) * 1.3 + 1e-6
+            domain = (0.5 * (lo + hi) - 0.5 * ext, ext)
+            if self.opts.pmgrid <= 0:
+                # vacuum SPMD runs as vacuum TreePM: pick the PM grid
+                # from the particle count, as the periodic auto path does
+                from gadget_leicester_tpu.core.config import auto_pmgrid
+                self.opts = dataclasses.replace(
+                    self.opts, pmgrid=auto_pmgrid(int(alive.sum())))
+        self.spmd_domain = domain
+        mw = spmd_min_width(self.cfg, self.opts, self.state.gas.n_gas_max,
+                            extent=None if domain is None else domain[1])
         st, caps, edges = to_spmd(self.state, self.mesh, self.cfg,
-                                  min_width=mw)
+                                  min_width=mw, domain=domain)
         specs = state_specs(st)
         st = jax.tree_util.tree_map(
             lambda x, sp: jax.device_put(x, NamedSharding(self.mesh, sp)),
@@ -396,7 +418,7 @@ class Simulation:
         self.spmd_caps = caps
         self.spmd_edges = edges
         self._spmd_step = make_spmd_step(self.cfg, self.opts, self.mesh,
-                                         edges=edges)(st)
+                                         edges=edges, domain=domain)(st)
 
     def maybe_rebalance(self, threshold: float = 1.3):
         """Re-decompose when the per-slab particle counts have drifted
@@ -408,8 +430,13 @@ class Simulation:
         from gadget_leicester_tpu.parallel.mesh import AXIS
         d = self.mesh.shape[AXIS]
         alive = np.asarray(self.state.p.alive)
-        x = np.mod(np.asarray(self.state.p.pos[:, 0])[alive],
-                   self.cfg.box_size)
+        x_raw = np.asarray(self.state.p.pos[:, 0])[alive]
+        if self.opts.periodic:
+            x = np.mod(x_raw, self.cfg.box_size)
+        else:
+            d0, ext = self.spmd_domain
+            x = np.clip(x_raw - float(np.asarray(d0).reshape(3)[0]),
+                        0.0, ext)
         counts = np.bincount(
             np.clip(np.searchsorted(self.spmd_edges, x, side="right") - 1,
                     0, d - 1), minlength=d)

@@ -231,6 +231,31 @@ def _freespace_kernel_k(n: int, cell: float, asmth_len: float, dtype):
     return gk / jnp.maximum(w, 1e-8) ** 2
 
 
+def vacuum_field(grid, n: int, cell, asmth_len):
+    """Free-space (zero-padded Hockney-Eastwood) solve on the 2n^3 grid:
+    returns (force[m,m,m,3], phi[m,m,m]). Shared by the single-device
+    vacuum PM below and the SPMD vacuum PM (parallel.pm_sharded), which
+    psums the deposited octant and then runs this replicated per shard
+    [G2: pm_nonperiodic.c solve, rank-replicated instead of
+    slab-decomposed FFT]."""
+    f = grid.dtype
+    m = 2 * n
+    gk = _freespace_kernel_k(n, cell, asmth_len, f)
+    phi_k = jnp.fft.rfftn(grid) * gk
+    phi = jnp.fft.irfftn(phi_k, (m, m, m))
+    h = cell
+    # FD4 gradient as its diagonal k-space multiplier (see periodic path)
+    kf = 2.0 * jnp.pi / (m * cell)
+    kx = jnp.fft.fftfreq(m, 1.0 / m).astype(f) * kf
+    kz = jnp.arange(m // 2 + 1, dtype=f) * kf
+    KX, KY, KZ = jnp.meshgrid(kx, kx, kz, indexing="ij")
+    comp = []
+    for K in (KX, KY, KZ):
+        mult = -1j * (8.0 * jnp.sin(K * h) - jnp.sin(2.0 * K * h)) / (6.0 * h)
+        comp.append(jnp.fft.irfftn(mult * phi_k, (m, m, m)))
+    return jnp.stack(comp, axis=-1), phi
+
+
 @partial(hybrid_jit, static_argnames=("n", "with_potential"))
 def pm_forces_nonperiodic(
     pos,
@@ -256,21 +281,7 @@ def pm_forces_nonperiodic(
     # deposit into the first octant of the padded grid; CIC in region coords
     grid = cic_deposit(jnp.clip(rel, 0.0, extent * 0.9999999),
                        msrc, 2.0 * extent, m)
-    gk = _freespace_kernel_k(n, cell, asmth_len, f)
-    phi_k = jnp.fft.rfftn(grid) * gk
-    phi = jnp.fft.irfftn(phi_k, (m, m, m))
-    h = cell
-
-    # FD4 gradient as its diagonal k-space multiplier (see periodic path)
-    kf = 2.0 * jnp.pi / (m * cell)
-    kx = jnp.fft.fftfreq(m, 1.0 / m).astype(f) * kf
-    kz = jnp.arange(m // 2 + 1, dtype=f) * kf
-    KX, KY, KZ = jnp.meshgrid(kx, kx, kz, indexing="ij")
-    comp = []
-    for K in (KX, KY, KZ):
-        mult = -1j * (8.0 * jnp.sin(K * h) - jnp.sin(2.0 * K * h)) / (6.0 * h)
-        comp.append(jnp.fft.irfftn(mult * phi_k, (m, m, m)))
-    force = jnp.stack(comp, axis=-1)
+    force, phi = vacuum_field(grid, n, cell, asmth_len)
     posw = jnp.clip(rel, 0.0, extent * 0.9999999)
     acc = cic_gather_vec(force, posw, 2.0 * extent, m)
     acc = jnp.where(alive[:, None], acc, 0.0)

@@ -134,6 +134,40 @@ def pm_local_forces(pos, mass, alive, box: float, n: int, d: int,
     return local_fn(pos, mass, alive)
 
 
+def pm_local_forces_vacuum(pos, mass, alive, origin, extent: float, n: int,
+                           asmth_grid: float = ASMTH,
+                           with_potential: bool = False):
+    """Vacuum-boundary PM for the LOCAL particles of one shard — call
+    INSIDE a shard_map over the ``AXIS`` axis [G2: pm_nonperiodic.c under
+    MPI]. Each shard CIC-deposits its own particles onto the zero-padded
+    2n^3 grid; only the (n+1)^3 octant is occupied, so ONE psum of that
+    octant (4(n+1)^3 bytes over ICI) replicates the global density, and
+    the free-space convolution (ops.pm.vacuum_field) then runs
+    REPLICATED per shard with a local CIC gather. Replication trades
+    FLOPs for zero further comms — the padded FFT is small next to the
+    force kernels at production sizes; the pencil all_to_all
+    decomposition (periodic path above) is the recorded upgrade if this
+    ever profiles hot."""
+    from gadget_leicester_tpu.ops.pm import cic_gather, vacuum_field
+    f = pos.dtype
+    cell = extent / n
+    asmth_len = asmth_grid * cell
+    m = 2 * n
+    org = jnp.broadcast_to(jnp.asarray(origin, f), (3,))
+    rel = jnp.clip(pos - org[None, :], 0.0, extent * 0.9999999)
+    msrc = jnp.where(alive, mass, 0.0).astype(f)
+    grid = cic_deposit(rel, msrc, 2.0 * extent, m)
+    octant = jax.lax.psum(grid[:n + 1, :n + 1, :n + 1], AXIS)
+    grid = jnp.zeros((m, m, m), f).at[:n + 1, :n + 1, :n + 1].set(octant)
+    force, phi = vacuum_field(grid, n, cell, asmth_len)
+    acc = cic_gather_vec(force, rel, 2.0 * extent, m)
+    acc = jnp.where(alive[:, None], acc, 0.0)
+    if with_potential:
+        pot = jnp.where(alive, cic_gather(phi, rel, 2.0 * extent, m), 0.0)
+        return acc, pot
+    return acc
+
+
 def make_pm_sharded(mesh: Mesh, box: float, n: int,
                     asmth_grid: float = ASMTH,
                     with_potential: bool = False):

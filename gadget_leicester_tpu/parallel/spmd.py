@@ -62,14 +62,18 @@ _P_FIELDS = ["pos", "vel", "mass", "ptype", "pid", "acc", "acc_pm",
 # Host-side layout conversion
 # ---------------------------------------------------------------------------
 def balance_edges(pos_x, alive, box: float, d: int,
-                  min_width: float = 0.0) -> np.ndarray:
+                  min_width: float = 0.0, origin: float = 0.0,
+                  periodic: bool = True) -> np.ndarray:
     """Cost-balanced slab boundaries — the rebuild of the reference's
     work-balanced domain split [G2: domain.c :: domain_decompose() with
     GravCost weights]: slab edges at the x-quantiles of the alive
     particles (equal counts => equal tile/sort/pack work per shard),
     blended back toward uniform just enough to honour min_width (the
-    rcut / SPH-cell ghost constraint)."""
-    x = np.sort(np.mod(np.asarray(pos_x)[np.asarray(alive)], box))
+    rcut / SPH-cell ghost constraint). Vacuum runs (periodic=False) work
+    in the domain frame [origin, origin+box) -> [0, box)."""
+    x_raw = np.asarray(pos_x)[np.asarray(alive)]
+    x = np.sort(np.mod(x_raw, box) if periodic
+                else np.clip(x_raw - origin, 0.0, box))
     if len(x) == 0:
         return np.linspace(0.0, box, d + 1)
     q = np.quantile(x, np.linspace(0.0, 1.0, d + 1))
@@ -83,11 +87,13 @@ def balance_edges(pos_x, alive, box: float, d: int,
     return uniform
 
 
-def spmd_min_width(cfg: SimConfig, opts: SimOptions, n_gas: int) -> float:
+def spmd_min_width(cfg: SimConfig, opts: SimOptions, n_gas: int,
+                   extent: float | None = None) -> float:
     """The slab-width floor: every slab must span at least rcut (gravity
-    ghosts) and the SPH cell edge (density/hydro ghosts)."""
+    ghosts) and the SPH cell edge (density/hydro ghosts). ``extent``
+    overrides cfg.box_size (the vacuum domain cube edge)."""
     from gadget_leicester_tpu.ops.pm import ASMTH, RCUT
-    box = float(cfg.box_size)
+    box = float(cfg.box_size) if extent is None else float(extent)
     rcut = RCUT * ASMTH * box / max(opts.pmgrid, 1)
     spacing_cells = (n_gas ** (1.0 / 3.0)) / (
         1.6 * (3.0 * cfg.des_num_ngb / (4.0 * 3.14159)) ** (1.0 / 3.0))
@@ -103,15 +109,20 @@ SLAB_FILL = 0.6
 
 
 def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
-            fill_frac: float = SLAB_FILL, edges=None, min_width: float = 0.0):
+            fill_frac: float = SLAB_FILL, edges=None, min_width: float = 0.0,
+            domain=None):
     """Re-lay a canonical SimState into the per-shard slab layout.
 
     Each shard's chunk is [cap_g gas slots | cap_r other slots]; global
     arrays are the concatenation over shards. ``edges`` ([d+1] slab
     boundaries; None = cost-balanced via :func:`balance_edges`).
+    ``domain``: (origin[3], extent) static cube for vacuum runs — edges
+    and slab membership then live in the domain frame [0, extent).
     Returns (state, (cap_g, cap_r), edges)."""
     d = mesh.shape[AXIS]
-    box = float(cfg.box_size)
+    per = domain is None
+    box = float(cfg.box_size) if per else float(domain[1])
+    orig_x = 0.0 if per else float(np.asarray(domain[0]).reshape(3)[0])
     p = state.p
     ng = state.gas.n_gas_max
     pos = np.asarray(p.pos)
@@ -120,10 +131,12 @@ def to_spmd(state: SimState, mesh: Mesh, cfg: SimConfig,
     is_gas[:ng] = np.asarray(p.ptype[:ng] == 0) & alive[:ng]
     is_rest = alive & ~is_gas
     if edges is None:
-        edges = balance_edges(pos[:, 0], alive, box, d, min_width)
+        edges = balance_edges(pos[:, 0], alive, box, d, min_width,
+                              origin=orig_x, periodic=per)
     edges = np.asarray(edges, np.float64)
-    slab = np.clip(np.searchsorted(edges, np.mod(pos[:, 0], box),
-                                   side="right") - 1, 0, d - 1)
+    xw = np.mod(pos[:, 0], box) if per else np.clip(
+        pos[:, 0] - orig_x, 0.0, np.nextafter(box, 0.0))
+    slab = np.clip(np.searchsorted(edges, xw, side="right") - 1, 0, d - 1)
 
     def cap_for(sel):
         counts = np.bincount(slab[sel], minlength=d)
@@ -346,24 +359,50 @@ def _insert_into_dead(fields, alive, recv, valid_in):
 # The SPMD step factory
 # ---------------------------------------------------------------------------
 def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
-                   edges=None, migrate_frac: float = 0.15):
+                   edges=None, migrate_frac: float = 0.15, domain=None):
     """Jitted owner-computes sync-point step over `mesh` (state in the
     to_spmd slab layout). ``edges``: the [d+1] slab boundaries from
     to_spmd (None = uniform) — cost-balanced decomposition bakes them as
     constants; repartitioning recompiles, exactly the cadence of the
-    reference's occasional domain_Decomposition(). Requires periodic
-    TreePM (+SPH), every slab >= rcut and >= the SPH cell edge."""
+    reference's occasional domain_Decomposition().
+
+    Two geometries [G2: domain.c serves every config]:
+
+    * periodic TreePM (+SPH): opts.periodic with PMGRID — slab ring over
+      the box, ghost x wraps, pencil-FFT PM.
+    * VACUUM TreePM (+SPH): opts.periodic False, PMGRID > 0, ``domain``
+      = (origin[3], extent) a static cube enclosing all particles with
+      headroom. The long-range split is the free-space PM
+      (pm_local_forces_vacuum, one octant psum) with the SAME
+      erfc/erf asmth as periodic; slabs partition the domain-frame x,
+      ghosts are MASKED (never wrapped) at the outer faces, every cell
+      grid is clamped on all axes, and minimum image is off. Escapees
+      raise flag bit 4 -> the host re-fits the domain and re-decomposes
+      (the occasional domain_Decomposition cadence). The reference's
+      vacuum runs decompose the same way [G2: pm_nonperiodic.c +
+      domain.c].
+
+    Every slab must be >= rcut and >= the SPH cell edge."""
     from gadget_leicester_tpu.ops.pm import ASMTH, RCUT
 
     d = mesh.shape[AXIS]
-    box = float(cfg.box_size)
+    per = bool(opts.periodic)
+    if per:
+        box = float(cfg.box_size)
+        dom0 = np.zeros(3, np.float64)
+    else:
+        if domain is None or opts.pmgrid <= 0:
+            raise NotImplementedError(
+                "vacuum SPMD requires PMGRID > 0 (vacuum TreePM) and a "
+                "domain=(origin, extent) cube")
+        box = float(domain[1])
+        dom0 = np.asarray(domain[0], np.float64).reshape(3)
+    dom0_j = jnp.asarray(dom0, jnp.float32)
     if edges is None:
         edges = np.linspace(0.0, box, d + 1)
     edges = np.asarray(edges, np.float64)
     w_min = float(np.min(np.diff(edges)))
     edges_j = jnp.asarray(edges, jnp.float32)
-    if not (opts.periodic and opts.pmgrid > 0):
-        raise NotImplementedError("SPMD step requires periodic TreePM")
     g_pm = opts.pmgrid
     asmth_len = ASMTH * box / g_pm
     rcut = RCUT * asmth_len
@@ -378,6 +417,30 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
     use_pallas = opts.use_pallas == "on" or (
         opts.use_pallas == "auto" and jax.default_backend() == "tpu")
     pallas_interp = jax.default_backend() != "tpu"
+    pyz = per            # y/z cell-grid periodicity (vacuum: all clamped)
+
+    def _wx(x):
+        """Absolute x -> domain-frame x in [0, box)."""
+        return jnp.mod(x, box) if per else x - dom0_j[0]
+
+    def _dompos(q):
+        """Absolute positions -> domain frame (vacuum shifts ALL axes by
+        dom0 so cell origins stay at 0; periodic uses raw coords)."""
+        return q if per else q - dom0_j[None, :]
+
+    def _fix_ghost_x(gx, x0, x1, margin, gvalid, gcap):
+        """Periodic: remap wrapped ghost x onto the receiving slab's
+        faces (_ghost_x). Vacuum: identity — but a ghost must LIE in the
+        half-strip it arrived for ([x0-margin, x0) from the left, [x1,
+        x1+margin) from the right); ring arrivals across an OUTER face
+        (and d=1 self-arrivals) fail the test and are masked, the vacuum
+        analog of 'no neighbour there'."""
+        if per:
+            return _ghost_x(gx, x0, x1, margin, box, gcap), gvalid
+        ok = jnp.concatenate([
+            (gx[:gcap] >= x0 - margin) & (gx[:gcap] < x0),
+            (gx[gcap:] >= x1) & (gx[gcap:] < x1 + margin)])
+        return gx, gvalid & ok
 
     def _occ_grid(n_cat, span_x, reach, cap, nyz0):
         """Coarsen the reach-fine (nx, nyz) slab grid until the mean
@@ -414,7 +477,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         p = st.p
         cap_g = st.gas.n_gas_max
         mcap = max(8, int(migrate_frac * p.n_max))
-        xw = jnp.mod(p.pos[:, 0], box)
+        xw = _wx(p.pos[:, 0])
         slab_of = jnp.clip(
             jnp.searchsorted(edges_j, xw, side="right") - 1, 0, d - 1
         ).astype(jnp.int32)
@@ -422,6 +485,13 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         go_l = p.alive & (slab_of == jnp.mod(me - 1, d)) & ~stay
         go_r = p.alive & (slab_of == jnp.mod(me + 1, d)) & ~stay
         lost = p.alive & ~stay & ~go_l & ~go_r
+        if not per:
+            # domain escapees (any axis) force a host re-fit of the
+            # static cube: same flag bit as a multi-slab hop (the host
+            # response — re-decompose — is identical)
+            rel = _dompos(p.pos)
+            lost = lost | (p.alive & jnp.any((rel < 0.0) | (rel >= box),
+                                             axis=1))
         gfields = [getattr(st.gas, f.name)
                    for f in dataclasses.fields(st.gas)]
 
@@ -474,8 +544,15 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         soft = SOFTFAC * eps[p.ptype]
 
         def compute_pm(_):
-            a, pt = pm_local_forces(p.pos, p.mass, p.alive, box, g_pm, d,
-                                    with_potential=True)
+            if per:
+                a, pt = pm_local_forces(p.pos, p.mass, p.alive, box, g_pm,
+                                        d, with_potential=True)
+            else:
+                from gadget_leicester_tpu.parallel.pm_sharded import \
+                    pm_local_forces_vacuum
+                a, pt = pm_local_forces_vacuum(
+                    p.pos, p.mass, p.alive, dom0_j, box, g_pm,
+                    with_potential=True)
             return a * cfg.grav_internal, pt
 
         with jax.named_scope("spmd_pm"):
@@ -494,13 +571,17 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         gcap = _ghost_cap(p.n_max, rcut, w_min, opts.spmd_ghost_frac)
         with jax.named_scope("spmd_ghosts_grav"):
             ghosts, gvalid, ovf = _ghost_exchange(
-                [p.pos, p.mass, soft], jnp.mod(p.pos[:, 0], box), p.alive,
+                [p.pos, p.mass, soft], _wx(p.pos[:, 0]), p.alive,
                 x0, x1, rcut, gcap, d)
         gpos, gmass, gsoft = ghosts
-        gpos = gpos.at[:, 0].set(_ghost_x(gpos[:, 0], x0, x1, rcut,
-                                           box, gcap))
-        lpos = p.pos.at[:, 0].set(
-            _wrap_to_slab(jnp.mod(p.pos[:, 0], box), xc, box))
+        gpos = _dompos(gpos)
+        gx_fixed, gvalid = _fix_ghost_x(gpos[:, 0], x0, x1, rcut,
+                                        gvalid, gcap)
+        gpos = gpos.at[:, 0].set(gx_fixed)
+        lpos = _dompos(p.pos)
+        if per:
+            lpos = lpos.at[:, 0].set(
+                _wrap_to_slab(jnp.mod(p.pos[:, 0], box), xc, box))
         cat_pos = jnp.concatenate([lpos, gpos])
         cat_mass = jnp.concatenate([p.mass, gmass])
         cat_soft = jnp.concatenate([soft, gsoft])
@@ -542,7 +623,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                                   jnp.float32(box)]).astype(lpos.dtype),
                 n_cells=(nx, nyz_g, nyz_g),
                 capacity=cap_sr,
-                periodic=(False, True, True))
+                periodic=(False, pyz, pyz))
         # sinks/Stamatellos consume the potential every sync point, so
         # add the fresh short-range term in-step (the single-chip analog
         # in forces._treepm_gravity) [G2: potential.c with PMGRID]
@@ -555,7 +636,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                     cat_pos, cat_mass, cat_soft, cat_alive, box=box,
                     n_cells=(nx, nyz_g, nyz_g), capacity=cap_sr,
                     asmth=asmth_len, rcut=rcut,
-                    periodic=(False, True, True), active=None, cl=cl,
+                    periodic=(False, pyz, pyz), active=None, cl=cl,
                     with_potential=want_sr_pot, interpret=pallas_interp)
             if want_sr_pot:
                 acc_sr, pot_sr = res[0][:p.n_max], res[1][:p.n_max]
@@ -564,17 +645,22 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         elif want_sr_pot:
             acc_sr, pot_sr = shortrange_gravity_cells(
                 cl, cat_pos, cat_mass, cat_soft, cat_alive,
-                asmth_len, rcut, box=box, periodic=True,
+                asmth_len, rcut, box=box, periodic=per,
                 with_potential=True, n_targets=p.n_max)
         else:
             acc_sr = shortrange_gravity_cells(
                 cl, cat_pos, cat_mass, cat_soft, cat_alive,
-                asmth_len, rcut, box=box, periodic=True,
+                asmth_len, rcut, box=box, periodic=per,
                 n_targets=p.n_max)
         flags = st.overflow_flags | jnp.where(
             cl.overflow | ovf, jnp.int32(1), jnp.int32(0))
 
         acc = acc_sr * cfg.grav_internal
+        if not per and cfg.comoving_integration_on:
+            # vacuum-boundary comoving runs: homogeneous-background
+            # subtraction, as in the single-chip path [G2: gravtree.c
+            # comoving correction]
+            acc = acc + (0.5 * cfg.omega0 * cfg.hubble_internal**2) * p.pos
         acc = jnp.where(active[:, None], acc, p.acc)
         acc = jnp.where(p.alive[:, None], acc, 0.0)
         acc_pm = jnp.where(p.alive[:, None], acc_pm, 0.0)
@@ -624,14 +710,20 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         else:
             spacing_cells = (n_glob ** (1.0 / 3.0)) / (
                 1.6 * (3.0 * cfg.des_num_ngb / (4.0 * 3.14159)) ** (1. / 3))
-            n_sph = max(3, int(spacing_cells))
+            # same floor as the Pallas branch: the cell edge (= ghost
+            # reach) must never exceed a slab width — matters when the
+            # gas block is tiny/empty padding (DM-only runs)
+            n_sph = max(3, int(spacing_cells),
+                        int(np.ceil(1.02 * box / w_min)))
         cell_sph = box / n_sph
         if w_min < cell_sph:
             raise ValueError("slab thinner than the SPH cell edge")
         max_hsml = cell_sph
 
-        lx = _wrap_to_slab(jnp.mod(p.pos[:ng, 0], box), xc, box)
-        lpos = p.pos[:ng].at[:, 0].set(lx)
+        lpos = _dompos(p.pos[:ng])
+        if per:
+            lpos = lpos.at[:, 0].set(
+                _wrap_to_slab(jnp.mod(p.pos[:ng, 0], box), xc, box))
         # O(surface) ghosts (see _gravity): strip within one SPH cell edge
         gcap = _ghost_cap(ng, cell_sph, w_min, opts.spmd_ghost_frac)
         h0 = jnp.minimum(gas.hsml, max_hsml)
@@ -641,11 +733,13 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
             ghosts, gvalid, ovf1 = _ghost_exchange(
                 [p.pos[:ng], gas.vel_pred, p.mass[:ng],
                  gas_mask.astype(jnp.int32)],
-                jnp.mod(p.pos[:ng, 0], box), gas_mask, x0, x1, cell_sph,
+                _wx(p.pos[:ng, 0]), gas_mask, x0, x1, cell_sph,
                 gcap, d)
         gpos, gvel, gmass, gmask_i = ghosts
-        gpos = gpos.at[:, 0].set(_ghost_x(gpos[:, 0], x0, x1, cell_sph,
-                                           box, gcap))
+        gpos = _dompos(gpos)
+        gx_f, gvalid = _fix_ghost_x(gpos[:, 0], x0, x1, cell_sph,
+                                    gvalid, gcap)
+        gpos = gpos.at[:, 0].set(gx_f)
         gv = gvalid & (gmask_i > 0)
         cat_pos = jnp.concatenate([lpos, gpos])
         cat_vel = jnp.concatenate([gas.vel_pred, gvel])
@@ -673,7 +767,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                               jnp.float32(box)]).astype(lpos.dtype),
             n_cells=(nx, n_sph, n_sph),
             capacity=cap_sph,
-            periodic=(False, True, True))
+            periodic=(False, pyz, pyz))
         h_cat = jnp.concatenate([h0, jnp.full((2 * gcap,), 1.0, h0.dtype)])
         if use_pallas:
             from gadget_leicester_tpu.ops.pallas_cells import \
@@ -685,7 +779,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                     max_dev=cfg.max_num_ngb_deviation,
                     box=box, n_cells=(nx, n_sph, n_sph), capacity=cap_sph,
                     min_hsml=min_hsml, max_hsml=max_hsml,
-                    periodic=(False, True, True), interpret=pallas_interp,
+                    periodic=(False, pyz, pyz), interpret=pallas_interp,
                     n_targets=ng, cl=cl)
         else:
             dres = density_adaptive_cells(
@@ -693,7 +787,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                 cat_mask, des_num_ngb=cfg.des_num_ngb,
                 max_dev=cfg.max_num_ngb_deviation,
                 min_hsml=min_hsml, max_hsml=max_hsml,
-                box=box, periodic=True, n_targets=ng)
+                box=box, periodic=per, n_targets=ng)
 
         rho = jnp.where(active_g, dres.rho, gas.density)
         hsml = jnp.where(active_g, dres.hsml, gas.hsml)
@@ -715,12 +809,14 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                 [p.pos[:ng], gas.vel_pred, p.mass[:ng], hsml, rho,
                  pressure, dhf, divv, curlv,
                  gas_mask.astype(jnp.int32)],
-                jnp.mod(p.pos[:ng, 0], box), gas_mask, x0, x1, cell_sph,
+                _wx(p.pos[:ng, 0]), gas_mask, x0, x1, cell_sph,
                 gcap, d)
         (g2pos, g2vel, g2mass, g2h, g2rho, g2prs, g2dhf, g2div, g2curl,
          g2mask_i) = ghosts2
-        g2pos = g2pos.at[:, 0].set(_ghost_x(g2pos[:, 0], x0, x1,
-                                             cell_sph, box, gcap))
+        g2pos = _dompos(g2pos)
+        g2x_f, gvalid2 = _fix_ghost_x(g2pos[:, 0], x0, x1, cell_sph,
+                                      gvalid2, gcap)
+        g2pos = g2pos.at[:, 0].set(g2x_f)
         gv2 = gvalid2 & (g2mask_i > 0)
         cat2 = dict(
             pos=jnp.concatenate([lpos, g2pos]),
@@ -757,7 +853,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                 cl2, cat2["pos"], cat2["vel"], cat2["mass"], cat2["hsml"],
                 cat2["rho"], cat2["prs"], cat2["dhf"], cat2["div"],
                 cat2["curl"], cat2["mask"],
-                visc_const=cfg.art_bulk_visc_const, box=box, periodic=True,
+                visc_const=cfg.art_bulk_visc_const, box=box, periodic=per,
                 hubble_a2_flow=fac.hubble_a2_flow,
                 hubble_a2_norm=fac.hubble_a2_norm, fac_mu=fac.fac_mu,
                 n_targets=ng)
@@ -802,6 +898,8 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                             p.pos.dtype)
 
         def mimg(dx):
+            if not per:        # vacuum: true separations, no image
+                return dx
             return dx - box * jnp.round(dx / box)
 
         # ---- formation (global densest-candidate pick) -----------------
@@ -967,7 +1065,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         with jax.named_scope("spmd_kick"):
             st = integrate.advance_and_find_timesteps(st, cfg, opts)
             st = integrate.pm_step_update(st, cfg, opts, is_pm_step,
-                                          axis_name=AXIS)
+                                          axis_name=AXIS, pm_box=box)
         # overflow bits are shard-local; OR them across shards (psum per
         # bit) so the replicated scalar out-spec is valid and the host
         # sees every shard's trouble

@@ -1,0 +1,201 @@
+"""Vacuum (non-periodic) SPMD step on the virtual CPU mesh — closes
+VERDICT r3 item 7 ("domain.c serves every config"): the slab
+decomposition now also runs vacuum workloads as vacuum TreePM
+(free-space PM + erfc short-range), with masked outer-face ghosts and
+all-clamped cell grids [G2: pm_nonperiodic.c + domain.c].
+
+Oracle for the force parity test: the SAME split computed densely on one
+device — ops.pm.pm_forces_nonperiodic over the fitted domain plus a
+direct erfc-truncated softened pair sum. This isolates the SPMD
+machinery (slab ownership, ghost exchange+masking, clamped cells) from
+the TreePM approximation itself, so the tolerance can be tight. A
+second, loose assertion checks the physical total against the full
+direct vacuum sum (TreePM split accuracy, ~1%).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gadget_leicester_tpu.core.config import SimOptions, parse_parameter_text
+from gadget_leicester_tpu.models.simulation import Simulation
+
+PARAM = """
+InitCondFile x
+OutputDir  /tmp/spmd_vac_test
+TimeBegin  0.0
+TimeMax    1.0
+ComovingIntegrationOn 0
+PeriodicBoundariesOn 0
+BoxSize    0
+ErrTolIntAccuracy 0.025
+MaxSizeTimestep 0.01
+CourantFac 0.15
+DesNumNgb 33
+MaxNumNgbDeviation 2
+ArtBulkViscConst 0.8
+InitGasTemp 100
+MinGasTemp 5
+SofteningGas  0.02
+SofteningHalo 0.02
+SofteningGasMaxPhys  0.02
+SofteningHaloMaxPhys 0.02
+MinGasHsmlFractional 0.05
+"""
+
+
+def _two_clumps(n=384, seed=3):
+    """Two off-centre Plummer-ish clumps — clustered enough that slab
+    edges, ghosts, and the domain fit all do real work."""
+    rng = np.random.default_rng(seed)
+    half = n // 2
+    c1, c2 = np.array([-0.6, 0.1, -0.2]), np.array([0.7, -0.3, 0.4])
+    p1 = c1 + 0.25 * rng.standard_normal((half, 3))
+    p2 = c2 + 0.35 * rng.standard_normal((n - half, 3))
+    pos = np.concatenate([p1, p2]).astype(np.float32)
+    vel = 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    mass = np.full(n, 1.0 / n, np.float32)
+    return pos, vel, mass
+
+
+def _vacuum_oracle(pos, mass, soft_len, domain, pmgrid, g):
+    """Dense single-device vacuum-TreePM total acceleration."""
+    from gadget_leicester_tpu.ops.gravity_direct import shortrange_trunc
+    from gadget_leicester_tpu.ops.pm import ASMTH, RCUT, \
+        pm_forces_nonperiodic
+    from gadget_leicester_tpu.ops.softening import SOFTFAC, grav_fac
+
+    origin, extent = domain
+    asmth = ASMTH * float(extent) / pmgrid
+    rcut = RCUT * asmth
+    alive = jnp.ones(pos.shape[0], bool)
+    acc_pm = pm_forces_nonperiodic(pos, mass, alive,
+                                   jnp.asarray(origin, pos.dtype),
+                                   float(extent), pmgrid)
+    dx = pos[:, None, :] - pos[None, :, :]
+    r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+    h = jnp.full_like(r, SOFTFAC * soft_len)
+    fac = grav_fac(r, h) * shortrange_trunc(r, asmth)
+    fac = jnp.where((r < rcut) & (r > 0), fac, 0.0)
+    acc_sr = -jnp.sum(fac[:, :, None] * dx * mass[None, :, None], axis=1)
+    return (acc_sr + acc_pm) * g
+
+
+def test_vacuum_spmd_gravity_matches_dense_split():
+    cfg = parse_parameter_text(PARAM)
+    # sr_capacity: the clump core packs one cell well past the auto
+    # heuristic; production bumps on the sticky overflow flag — the
+    # parity assert needs it right first try
+    opts = SimOptions(periodic=False, pmgrid=24, sph_backend="cells",
+                      use_pallas="off", sr_capacity=512)
+    pos, vel, mass, = _two_clumps()
+    n = pos.shape[0]
+    sim = Simulation(cfg, opts, mesh=4)
+    sim.set_ics(pos, vel, mass, np.ones(n, np.int32))
+    assert sim.spmd_domain is not None
+    dom = sim.spmd_domain
+
+    sim.step(1)
+    st = sim.canonical_state()
+    assert int(st.overflow_flags) == 0
+    alive = np.asarray(st.p.alive)
+    total = np.asarray(st.p.acc + st.p.acc_pm)[alive]
+    p_now = jnp.asarray(np.asarray(st.p.pos)[alive])
+    m_now = jnp.asarray(np.asarray(st.p.mass)[alive])
+
+    oracle = np.asarray(_vacuum_oracle(
+        p_now, m_now, cfg.softening_halo, dom, opts.pmgrid,
+        cfg.grav_internal))
+    scale = np.abs(oracle).max()
+    err = np.abs(total - oracle).max() / scale
+    # same split, same domain — only cells-vs-dense pair order differs
+    assert err < 2e-3, f"SPMD vacuum split vs dense split: {err:.2e}"
+
+    # physical sanity: the split approximates the full direct vacuum sum
+    from gadget_leicester_tpu.ops.gravity_direct import direct_gravity
+    from gadget_leicester_tpu.ops.softening import SOFTFAC
+    acc_dir, _ = direct_gravity(
+        p_now, m_now, jnp.full(p_now.shape[0], SOFTFAC * cfg.softening_halo),
+        jnp.ones(p_now.shape[0], bool), box=1.0, periodic=False)
+    acc_dir = np.asarray(acc_dir) * cfg.grav_internal
+    rms = np.sqrt(((total - acc_dir) ** 2).sum(1).mean())
+    rms_ref = np.sqrt((acc_dir ** 2).sum(1).mean())
+    assert rms / rms_ref < 0.02, f"TreePM split error {rms/rms_ref:.3f}"
+
+
+@pytest.mark.slow
+def test_vacuum_spmd_gas_d4_matches_d1():
+    """Trajectory parity d=4 vs d=1 through the SAME vacuum SPMD code:
+    d=1 exercises the masked self-ghost path (one slab owns everything),
+    d=4 the real ppermute exchanges; agreeing trajectories mean the
+    ghost masking/exchange moved exactly the right particles."""
+    rng = np.random.default_rng(11)
+    n = 256
+    r = rng.uniform(0.05, 1.0, n) ** (1.0 / 3.0)
+    u_dir = rng.standard_normal((n, 3))
+    u_dir /= np.linalg.norm(u_dir, axis=1, keepdims=True)
+    pos = (r[:, None] * u_dir).astype(np.float32)
+    vel = np.zeros((n, 3), np.float32)
+    mass = np.full(n, 1.0 / n, np.float32)
+    u = np.full(n, 0.05, np.float32)
+
+    cfg = parse_parameter_text(PARAM)
+    opts = SimOptions(periodic=False, pmgrid=24, sph_backend="cells",
+                      use_pallas="off")
+
+    outs = []
+    for d in (1, 4):
+        sim = Simulation(cfg, opts, mesh=d)
+        sim.set_ics(pos, vel, mass, np.zeros(n, np.int32), u=u)
+        sim.step(4)
+        st = sim.canonical_state()
+        alive = np.asarray(st.p.alive)
+        order = np.argsort(np.asarray(st.p.pid)[alive])
+        outs.append((np.asarray(st.p.pos)[alive][order],
+                     np.asarray(st.p.vel)[alive][order],
+                     int(st.ti_current)))
+
+    (p1, v1, t1), (p4, v4, t4) = outs
+    assert t1 == t4
+    assert p1.shape == p4.shape
+    dscale = np.abs(p1).max()
+    assert np.abs(p1 - p4).max() / dscale < 5e-4
+    assert np.isfinite(v4).all()
+    # vacuum SPH+gravity must conserve momentum across the mesh
+    mom = (mass[:, None] * v4).sum(0)
+    assert np.abs(mom).max() < 5e-4 * np.abs(mass[:, None] * v4).sum()
+
+
+def test_vacuum_pm_sharded_matches_dense():
+    """pm_local_forces_vacuum under shard_map == pm_forces_nonperiodic."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from gadget_leicester_tpu.ops.pm import pm_forces_nonperiodic
+    from gadget_leicester_tpu.parallel.mesh import AXIS, make_mesh
+    from gadget_leicester_tpu.parallel.pm_sharded import \
+        pm_local_forces_vacuum
+
+    rng = np.random.default_rng(5)
+    n_p, n_g = 512, 16
+    pos = rng.uniform(-1.0, 1.0, (n_p, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n_p).astype(np.float32)
+    origin = np.array([-1.1, -1.1, -1.1], np.float32)
+    extent = 2.2
+    alive = np.ones(n_p, bool)
+
+    ref = pm_forces_nonperiodic(jnp.asarray(pos), jnp.asarray(mass),
+                                jnp.asarray(alive), jnp.asarray(origin),
+                                extent, n_g)
+
+    mesh = make_mesh(4)
+    fn = jax.jit(jax.shard_map(
+        lambda p, m, a: pm_local_forces_vacuum(
+            p, m, a, jnp.asarray(origin), extent, n_g),
+        mesh=mesh, in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS)))
+    out = fn(jnp.asarray(pos), jnp.asarray(mass), jnp.asarray(alive))
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5 * np.abs(ref).max())
