@@ -171,6 +171,7 @@ def _empty_cl(total_cells: int, capacity: int, n: int, n_cells, periodic,
         counts=jnp.zeros((counts_size if counts_size is not None
                           else total_cells,), jnp.int32),
         overflow=jnp.asarray(False),
+        gslot=jnp.full((n,), -1, jnp.int32),
         origin=jnp.zeros((3,), dtype),
         inv_cell=jnp.ones((3,), dtype),
         n_cells=n_cells,

@@ -37,15 +37,34 @@ class CellList:
     overflow: jnp.ndarray   # bool scalar — any cell over capacity
     origin: jnp.ndarray     # [3] grid origin
     inv_cell: jnp.ndarray   # [3] 1/cell_size
+    # [N] int32 flat slot index into cells.reshape(-1): gslot[p] such that
+    # cells.reshape(-1)[gslot[p]] == p (-1 = dead/dropped). Lets merges be
+    # one row GATHER per particle instead of per-component scatters
+    # (measured 32 ms vs 105 ms at 4.2M for the 3-component SR merge).
+    gslot: jnp.ndarray
     n_cells: int            # STATIC per-axis count — int (cube) or (nx,ny,nz)
     periodic: bool          # STATIC — bool or per-axis (px,py,pz) tuple
 
 
 jax.tree_util.register_dataclass(
     CellList,
-    data_fields=["cells", "cell_of", "counts", "overflow", "origin", "inv_cell"],
+    data_fields=["cells", "cell_of", "counts", "overflow", "origin",
+                 "inv_cell", "gslot"],
     meta_fields=["n_cells", "periodic"],
 )
+
+
+def merge_rows(out, cl: CellList, n_rows: int, n_p: int, row0: int = 0):
+    """Merge a kernel output [C, K, cap] back to particles as [N, n_rows]
+    via ONE row gather over ``gslot`` (rows row0..row0+n_rows). Dead or
+    capacity-dropped particles get zero rows."""
+    c, _, cap = out.shape
+    rows = out[:, row0:row0 + n_rows, :].transpose(0, 2, 1).reshape(
+        -1, n_rows)
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((1, n_rows), rows.dtype)], axis=0)
+    gidx = jnp.where(cl.gslot >= 0, cl.gslot, c * cap)
+    return jnp.take(rows, gidx, axis=0)
 
 
 def _axes3(v):
@@ -109,11 +128,16 @@ def build_cell_list(
     ].set(jnp.where(ok, order.astype(jnp.int32), -1), mode="drop")
     counts = jnp.zeros((total + 1,), jnp.int32).at[cid_sorted].add(1)
     overflow = jnp.any(counts[:total] > capacity)
+    # inverse map for gather-merges: particle -> flat slot in cells
+    ok_live = ok & (cid_sorted < total)
+    gslot = jnp.full((n,), -1, jnp.int32).at[order].set(
+        jnp.where(ok_live, cid_sorted * capacity + rank, -1))
     return CellList(
         cells=cells[:total],
         cell_of=jnp.where(mask, _flat_cell_id(coords, n_cells), -1),
         counts=counts[:total],
         overflow=overflow,
+        gslot=gslot,
         origin=origin,
         inv_cell=inv_cell,
         n_cells=n_cells,

@@ -96,12 +96,14 @@ def neighbor_table(n_cells: int, periodic: bool):
             jnp.asarray(valid, jnp.int32))
 
 
-# trunc(x) = [erfc(x) + 2x/sqrt(pi) e^{-x^2}] rewritten as P7(x) * e^{-x^2}
-# (one exp, no reciprocal — divisions and double transcendentals dominate
-# the VPU cost of the truncation otherwise). Max |err| = 6.5e-5 on the
-# whole short-range domain x = r/(2 asmth) in [0, 2.25 = RCUT/2].
-_TRUNC_P7 = (0.99993474, 0.00223974, 0.98096394, -0.68216353,
-             0.36051905, -0.13132448, 0.02851446, -0.00273169)
+# trunc(x) = erfc(x) + 2x/sqrt(pi) e^{-x^2} as a PURE degree-10 poly in
+# x — no exp at all (the exp was ~1/3 of the per-pair VPU cost). Max
+# |err| = 6.5e-6 on the whole short-range domain x = r/(2 asmth) in
+# [0, 2.25 = RCUT/2], 10x tighter than the old P7*exp form; max |coeff|
+# = 1 so f32 Horner evaluation carries no cancellation.
+_TRUNC_P10 = (0.999996443, 0.00034025031, -0.00511726609, -0.724873424,
+              -0.060829609, 0.480734922, 0.121668214, -0.426925219,
+              0.239634766, -0.0574951754, 0.00527855602)
 
 
 def _grav_fac_nodiv(r, rinv, h, hinv):
@@ -121,26 +123,29 @@ def _grav_fac_nodiv(r, rinv, h, hinv):
 
 
 def _shortrange_trunc_pallas(r, asmth):
-    """[G2: shortrange_table] erfc-truncation, Pallas-lowerable form."""
-    x = r * (0.5 / asmth)
-    p = jnp.float32(_TRUNC_P7[-1])
-    for c in _TRUNC_P7[-2::-1]:
+    """[G2: shortrange_table] erfc-truncation, Pallas-lowerable form.
+    Pure polynomial — valid for x in [0, 2.25] only; callers ALWAYS mask
+    with r < rcut (= 4.5 asmth) so out-of-domain values never survive."""
+    x = jnp.minimum(r * (0.5 / asmth), 2.25)
+    p = jnp.float32(_TRUNC_P10[-1])
+    for c in _TRUNC_P10[-2::-1]:
         p = p * x + c
-    return p * jnp.exp(-x * x)
+    return p
 
 
-# erfc(x) = Q7(x) * e^{-x^2}, max |err| 1.7e-5 on [0, 2.26] — the
+# erfc(x) as a pure degree-10 poly on [0, 2.25], max |err| 5.2e-7 — the
 # potential truncation [G2: pm_periodic.c / potential.c erfc factor]
-_ERFC_P7 = (0.99998307, -1.12761978, 0.99168, -0.71359245,
-            0.40552133, -0.16464148, 0.04074038, -0.00448705)
+_ERFC_P10 = (0.999999923, -1.1283663, -0.000326738866, 0.379212313,
+             -0.0145173017, -0.0737919465, -0.0643211737, 0.0932881235,
+             -0.0418223107, 0.0086528472, -0.000708430614)
 
 
 def _erfc_trunc_pallas(r, asmth):
-    x = r * (0.5 / asmth)
-    p = jnp.float32(_ERFC_P7[-1])
-    for c in _ERFC_P7[-2::-1]:
+    x = jnp.minimum(r * (0.5 / asmth), 2.25)
+    p = jnp.float32(_ERFC_P10[-1])
+    for c in _ERFC_P10[-2::-1]:
         p = p * x + c
-    return p * jnp.exp(-x * x)
+    return p
 
 
 def _grav_pot_nodiv(r, rinv, h, hinv):
@@ -619,7 +624,7 @@ def shortrange_gravity_pallas_dma9(
     pos, mass, soft, alive, box: float, n_cells: int, capacity: int = 128,
     asmth: float = 0.0, rcut: float = 1e30, periodic: bool = True,
     active=None, cl=None, with_potential: bool = False, flags=None,
-    interpret: bool = False,
+    interpret: bool = False, soa=None,
 ):
     """Nine-column variant of shortrange_gravity_pallas_dma (TPU only).
 
@@ -633,8 +638,9 @@ def shortrange_gravity_pallas_dma9(
         cl = build_cell_list(pos, alive, 0.0, box, n_cells=n_cells,
                              capacity=capacity, periodic=periodic)
     with jax.named_scope("sr_pack"):
-        soa = pack_cells_soa(cl, pos, mass, soft, alive,
-                             active=active if flags is None else None)
+        if soa is None:
+            soa = pack_cells_soa(cl, pos, mass, soft, alive,
+                                 active=active if flags is None else None)
         c, _, cap = soa.shape
         soa_z = _zpad_columns(soa, n_cells, cap, periodic)
         if flags is not None:
@@ -669,19 +675,15 @@ def shortrange_gravity_pallas_dma9(
     )(flags, soa, soa_z)
 
     with jax.named_scope("sr_merge"):
-        idx = jnp.maximum(cl.cells, 0)
-        valid = cl.cells >= 0
+        # ONE row gather over the inverse slot map instead of per-component
+        # scatters (measured 32 ms vs 105 ms at 4.2M)
+        from gadget_leicester_tpu.ops.neighbors import merge_rows
         n_p = pos.shape[0]
-        flat_idx = jnp.where(valid, idx, n_p).reshape(-1)
-        acc = jnp.zeros((n_p + 1, 3), pos.dtype)
-        acc = acc.at[flat_idx, 0].set(out[:, 0, :].reshape(-1), mode="drop")
-        acc = acc.at[flat_idx, 1].set(out[:, 1, :].reshape(-1), mode="drop")
-        acc = acc.at[flat_idx, 2].set(out[:, 2, :].reshape(-1), mode="drop")
-        acc_p = jnp.where(alive[:, None], acc[:n_p], 0.0)
+        k = 4 if with_potential else 3
+        res = merge_rows(out, cl, k, n_p)
+        acc_p = jnp.where(alive[:, None], res[:, :3], 0.0)
         if with_potential:
-            pot = jnp.zeros((n_p + 1,), pos.dtype).at[flat_idx].set(
-                out[:, 3, :].reshape(-1), mode="drop")
-            return acc_p, jnp.where(alive, pot[:n_p], 0.0), cl.overflow
+            return acc_p, jnp.where(alive, res[:, 3], 0.0), cl.overflow
         return acc_p, cl.overflow
 
 
@@ -906,7 +908,7 @@ def shortrange_gravity_pallas_entries(
     pos, mass, soft, alive, box: float, n_cells: int, capacity: int,
     asmth: float, rcut: float, entry_cell, entry_slot, cl: CellList,
     periodic: bool = True, with_potential: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, soa=None,
 ):
     """Active-entry short-range gravity (docs/compact_active_design.md):
     O(entries) kernel work at nearly-idle sync points — the TPU shape of
@@ -919,7 +921,8 @@ def shortrange_gravity_pallas_entries(
     n_p = pos.shape[0]
 
     with jax.named_scope("sr_entries_pack"):
-        soa = pack_cells_soa(cl, pos, mass, soft, alive)
+        if soa is None:
+            soa = pack_cells_soa(cl, pos, mass, soft, alive)
         soa_x = _xyzpad_stencil(soa, n_cells, cap, periodic)
 
         ec = jnp.maximum(entry_cell, 0)

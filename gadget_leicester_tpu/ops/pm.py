@@ -137,6 +137,7 @@ def pm_forces_periodic(
     gradient: str = "fd4",
     with_potential: bool = False,
     return_field: bool = False,
+    rho_grid=None,
 ):
     """Long-range accelerations (no G factor), periodic box.
 
@@ -150,9 +151,14 @@ def pm_forces_periodic(
     (ops.pm_tiles.pm_gather_tiles) interpolates it on TPU.
     """
     f = pos.dtype
-    m = jnp.where(alive, mass, 0.0).astype(f)
     posw = jnp.mod(pos, box)
-    rho = cic_deposit(posw, m, box, n)         # mass mesh (not density; the
+    if rho_grid is not None:
+        # caller supplied the mass mesh (e.g. the cell-tile deposit
+        # ops.pm_tiles.pm_deposit_tiles — 132 ms vs 335 ms at 4.2M)
+        rho = rho_grid
+    else:
+        m = jnp.where(alive, mass, 0.0).astype(f)
+        rho = cic_deposit(posw, m, box, n)     # mass mesh (not density; the
     # 4 pi G/k^2 Green's fn absorbs the cell volume via the DFT convention:
     # phi_k = G(k) rho_k / V_cell ... we fold constants below.
     rho_k = jnp.fft.rfftn(rho)

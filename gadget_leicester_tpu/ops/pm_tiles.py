@@ -399,7 +399,7 @@ def _make_deposit_kernel(n_pm: int, w: int, wy: int, zdim: int, p0: int,
                                       "margin_pm", "interpret"))
 def pm_deposit_tiles(cl: CellList, pos, mass, alive, box: float, n_pm: int,
                      n_cells: int, margin_pm: float,
-                     interpret: bool = False):
+                     interpret: bool = False, soa=None):
     """CIC mass assignment onto an [n_pm]^3 periodic mesh via the
     (possibly stale) short-range cell tiles — the deposit dual of
     pm_gather_tiles [G2: pm_periodic.c mass-assignment loop]. Returns
@@ -427,8 +427,9 @@ def pm_deposit_tiles(cl: CellList, pos, mass, alive, box: float, n_pm: int,
     n_cols = n_cells * n_cells
     f = pos.dtype
 
-    m = jnp.where(alive, mass, 0.0).astype(f)
-    soa = pack_cells_soa(cl, pos, m, jnp.ones_like(m), alive)
+    if soa is None:
+        m = jnp.where(alive, mass, 0.0).astype(f)
+        soa = pack_cells_soa(cl, pos, m, jnp.ones_like(m), alive)
     cap = soa.shape[-1]
     n2 = n + p0 + w
     ny = _align_up(n2 + (wy - w), 8)

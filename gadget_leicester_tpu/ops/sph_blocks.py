@@ -106,12 +106,17 @@ def build_block_lists(pos, mask, origin, extent, n_blocks: int,
     counts = jnp.zeros((total_f + 1,), jnp.int32).at[cid_sorted].add(1)
     overflow = jnp.any(counts[:total_f] > subcap)
 
-    def mk(cells, nb_):
+    def mk(cells, nb_, bid, lane):
+        # inverse map for gather-merges (neighbors.merge_rows):
+        # particle -> flat slot in cells.reshape(-1)
+        gslot = jnp.full((n,), -1, jnp.int32).at[order].set(
+            jnp.where(ok, bid * lanes + lane, -1))
         return CellList(cells=cells, cell_of=cid_f, counts=counts[:total_f],
                         overflow=overflow, origin=origin, inv_cell=inv_cell,
-                        n_cells=nb_, periodic=periodic)
+                        gslot=gslot, n_cells=nb_, periodic=periodic)
 
-    return mk(cells_e[:n_e], nb), mk(cells_o[:n_o], nb_o)
+    return (mk(cells_e[:n_e], nb, bid_e, lane_e),
+            mk(cells_o[:n_o], nb_o, bid_o, lane_o))
 
 
 def _zpad_odd(arr, nb, periodic):
@@ -604,20 +609,26 @@ def density_adaptive_blocks(
         sweep, mass_slots, h0_slots, mask_slots, des_num_ngb, max_dev,
         min_hsml=min_hsml, max_hsml=max_hsml, max_iters=max_iters)
 
-    flat_idx = jnp.where(mask_slots, idx.reshape(-1), ng)
-
-    def to_part(x_slots, fill=0.0):
-        return jnp.full((ng + 1,), fill, x_slots.dtype).at[flat_idx].set(
-            x_slots, mode="drop")[:ng]
-
     with jax.named_scope("density_merge"):
+        # ONE row gather over the inverse slot map (see neighbors.gslot)
+        # instead of six per-field scatters. Slots of inactive targets
+        # carry the masked values (rho 0, dhsml 1), matching the old
+        # scatter fills; dropped/dead particles hit the fill sentinel row.
+        slots_mat = jnp.stack(
+            [res_slots.rho, res_slots.dhsml_factor, res_slots.div_vel,
+             res_slots.curl_vel, res_slots.num_ngb_eff,
+             res_slots.hsml], axis=-1)
+        fills = jnp.asarray([0.0, 1.0, 0.0, 0.0, 0.0, 1.0], slots_mat.dtype)
+        slots_mat = jnp.concatenate([slots_mat, fills[None, :]], axis=0)
+        gidx = jnp.where(cl_e.gslot >= 0, cl_e.gslot, b * lanes)
+        vals = jnp.take(slots_mat, gidx, axis=0)
         res = DensityResult(
-            rho=to_part(res_slots.rho),
-            dhsml_factor=to_part(res_slots.dhsml_factor, 1.0),
-            div_vel=to_part(res_slots.div_vel),
-            curl_vel=to_part(res_slots.curl_vel),
-            num_ngb_eff=to_part(res_slots.num_ngb_eff),
-            hsml=to_part(res_slots.hsml, 1.0),
+            rho=vals[:, 0],
+            dhsml_factor=vals[:, 1],
+            div_vel=vals[:, 2],
+            curl_vel=vals[:, 3],
+            num_ngb_eff=vals[:, 4],
+            hsml=vals[:, 5],
             iters=res_slots.iters,
         )
     return res, (cl_e, cl_o)
@@ -632,8 +643,7 @@ def hydro_force_blocks(
     """Entropy-form hydro force on block tiles; cls = (cl_even, cl_odd)
     from density_adaptive_blocks. [G2: hydra.c :: hydro_evaluate()]"""
     from gadget_leicester_tpu.core.config import GAMMA, GAMMA_MINUS1
-    from gadget_leicester_tpu.ops.pallas_cells import (pack_sph_soa,
-                                                       scatter_cell_rows)
+    from gadget_leicester_tpu.ops.pallas_cells import pack_sph_soa
     from gadget_leicester_tpu.ops.sph_dense import HydroResult
 
     cl_e, cl_o = cls
@@ -670,9 +680,11 @@ def hydro_force_blocks(
                             hubble_a2_flow, fac_mu, interpret=interpret,
                             flags=flags)
     with jax.named_scope("hydro_merge"):
-        ax, ay, az, dt_raw, msv = scatter_cell_rows(cl_e, out, ng,
-                                                    rows=(0, 1, 2, 3, 4))
-        acc = jnp.stack([ax, ay, az], axis=-1)
+        from gadget_leicester_tpu.ops.neighbors import merge_rows
+        res5 = merge_rows(out, cl_e, 5, ng)
+        acc = res5[:, :3]
+        dt_raw = res5[:, 3]
+        msv = res5[:, 4]
     dt_ent = dt_raw * GAMMA_MINUS1 / (
         jnp.asarray(hubble_a2_norm, rho.dtype) * rho_safe**GAMMA_MINUS1)
     gm = gas_mask
