@@ -253,9 +253,13 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
         kw = dict(asmth=float(asmth_len), rcut=float(rcut),
                   with_potential=with_pot)
         # ONE SoA pack shared by the SR kernel AND the cell-tile PM
-        # deposit (pm_tiles) — the "share the SR pack" fix of VERDICT r4
+        # deposit (pm_tiles) — the "share the SR pack" fix of VERDICT r4.
+        # CELL-RELATIVE coordinates: kernels replace the per-pair
+        # minimum image with constant stencil shifts (pack_cells_soa).
+        kw["relative"] = True
         with jax.named_scope("sr_pack_shared"):
-            soa = pack_cells_soa(cl, p.pos, p.mass, soft, p.alive)
+            soa = pack_cells_soa(cl, p.pos, p.mass, soft, p.alive,
+                                 relative=True)
         if active is None:
             res = shortrange_gravity_pallas_dma9(
                 p.pos, p.mass, soft, p.alive, float(box), n_cells=n_cells,

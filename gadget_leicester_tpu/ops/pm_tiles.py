@@ -58,7 +58,7 @@ def _window_geometry(n_pm: int, n_cells: int, margin_pm: float):
 
 
 def _cic_xy_factors(t, bx, by, delta_y, n_pm: int, w: int, wy: int,
-                    cap: int, scale: float, dtype):
+                    cap: int, scale: float, dtype, off_pm=(0.0, 0.0, 0.0)):
     """Separable CIC xy factor for the window of one cell.
 
     Returns (axy [cap, w*wy], lz-part inputs (iz, fz), valid) with
@@ -67,13 +67,15 @@ def _cic_xy_factors(t, bx, by, delta_y, n_pm: int, w: int, wy: int,
     as a tiny second contraction (keeps every intermediate
     lane-preserving for Mosaic).
 
-    ``t`` is the [8, cap] cell tile (x, y, z, mass, soft, valid, ...);
-    bx/by the RAW (possibly negative) window bases; ``delta_y`` the
-    sublane-alignment remainder of the y base."""
+    ``t`` is the [8, cap] cell tile (x, y, z, mass, soft, valid, ...)
+    with CELL-RELATIVE coordinates (pack_cells_soa relative=True);
+    ``off_pm`` is the cell center in PM units, restoring absolute mesh
+    coordinates. bx/by are the RAW (possibly negative) window bases;
+    ``delta_y`` the sublane-alignment remainder of the y base."""
     valid = t[5, :]                      # 1 for packed slots, 0 parked
-    ux = t[0, :] * scale
-    uy = t[1, :] * scale
-    uz = t[2, :] * scale
+    ux = t[0, :] * scale + off_pm[0]
+    uy = t[1, :] * scale + off_pm[1]
+    uz = t[2, :] * scale + off_pm[2]
     ix = jnp.floor(ux)
     iy = jnp.floor(uy)
     iz = jnp.floor(uz)
@@ -122,11 +124,18 @@ def _make_gather_kernel(n_pm: int, w: int, wy: int, wzk: int, p0: int,
         cc = jnp.asarray(cc, jnp.float32)
         return jnp.floor(cc * edge_pm - margin_pm).astype(jnp.int32)
 
-    def bases3(c):
+    def cells3(c):
         cx = c // (n_cells * n_cells)
         cy = (c // n_cells) % n_cells
         cz = c % n_cells
+        return cx, cy, cz
+
+    def bases3(c):
+        cx, cy, cz = cells3(c)
         return base_of(cx), base_of(cy), base_of(cz)
+
+    def center_pm(cc):
+        return (jnp.asarray(cc, jnp.float32) + 0.5) * edge_pm
 
     def kernel(tgt_ref, fp_hbm, out_ref, buf, sems):
         i = pl.program_id(0)
@@ -157,12 +166,13 @@ def _make_gather_kernel(n_pm: int, w: int, wy: int, wzk: int, p0: int,
         fb = jnp.reshape(buf[slot], (w * wy, wzk))
 
         t = tgt_ref[0]                       # [8, cap]
+        cx_i, cy_i, cz_i = cells3(i)
         bx_i, by_i, bz_i = bases3(i)
         delta_y = jax.lax.rem(by_i + p0, 8)
         delta_z = jax.lax.rem((bz_i + p0) * k_comp, 128)
-        axy, iz, fz = _cic_xy_factors(t, bx_i, by_i,
-                                      delta_y, n_pm, w, wy, cap, scale,
-                                      fb.dtype)
+        axy, iz, fz = _cic_xy_factors(
+            t, bx_i, by_i, delta_y, n_pm, w, wy, cap, scale, fb.dtype,
+            off_pm=(center_pm(cx_i), center_pm(cy_i), center_pm(cz_i)))
         lz = jax.lax.rem(iz.astype(jnp.int32) - bz_i
                          + (2 * n_pm), n_pm)
         lz = jnp.minimum(lz, w - 2)
@@ -217,7 +227,7 @@ def pm_gather_tiles(field, cl: CellList, pos, alive, box: float, n_pm: int,
     c3 = n_cells ** 3
 
     soa = pack_cells_soa(cl, pos, jnp.ones_like(pos[:, 0]),
-                         jnp.ones_like(pos[:, 0]), alive)
+                         jnp.ones_like(pos[:, 0]), alive, relative=True)
     cap = soa.shape[-1]
 
     out = pl.pallas_call(
@@ -354,11 +364,15 @@ def _make_deposit_kernel(n_pm: int, w: int, wy: int, zdim: int, p0: int,
                 dma_in(j + 1, other).start()
 
         t = tgt_ref[0]
+        col_j = order_ref[j]
         bx_j, by_j = bases2(j)
         delta_y = jax.lax.rem(by_j + p0, 8)
+        off = ((jnp.asarray(col_j // n_cells, jnp.float32) + 0.5) * edge_pm,
+               (jnp.asarray(col_j % n_cells, jnp.float32) + 0.5) * edge_pm,
+               (jnp.asarray(kz, jnp.float32) + 0.5) * edge_pm)
         axy, iz, fz = _cic_xy_factors(t, bx_j, by_j,
                                       delta_y, n_pm, w, wy, cap, scale,
-                                      buf.dtype)
+                                      buf.dtype, off_pm=off)
         # z is ABSOLUTE here (full-z window): lz = mod(iz, n) + p0; the +1
         # corner may land in the high wrap pad — folded back by the host
         lz = jax.lax.rem(iz.astype(jnp.int32) + (2 * n_pm), n_pm) + p0
@@ -429,7 +443,8 @@ def pm_deposit_tiles(cl: CellList, pos, mass, alive, box: float, n_pm: int,
 
     if soa is None:
         m = jnp.where(alive, mass, 0.0).astype(f)
-        soa = pack_cells_soa(cl, pos, m, jnp.ones_like(m), alive)
+        soa = pack_cells_soa(cl, pos, m, jnp.ones_like(m), alive,
+                             relative=True)
     cap = soa.shape[-1]
     n2 = n + p0 + w
     ny = _align_up(n2 + (wy - w), 8)
