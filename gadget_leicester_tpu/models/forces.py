@@ -278,7 +278,15 @@ def _treepm_gravity(state: SimState, cfg: SimConfig, opts: SimOptions,
             # exceed the active-cell count via lane spill); padding-tail
             # grid steps are ~0.3 us no-ops, so oversizing is cheap
             k_max = max(256, (3 * c3) // 2)
-            total = count_active_entries(cl, active, ENTRY_LANES)
+            # tier pre-gate: entries >= n_active / lanes, so when the
+            # cheap O(N) active count already rules the entries tier out
+            # (every busy sync point), skip the 30 ms scatter-count —
+            # it only runs near-idle, where it decides the tier
+            n_act = jnp.sum(active.astype(jnp.int32))
+            total = jax.lax.cond(
+                n_act <= k_max * ENTRY_LANES,
+                lambda _: count_active_entries(cl, active, ENTRY_LANES),
+                lambda _: jnp.int32(k_max + 1), operand=None)
             entries_ok = total <= k_max
 
             def _entries(_):
@@ -671,7 +679,15 @@ def compute_sph(state: SimState, cfg: SimConfig, opts: SimOptions,
                 hydro_force_blocks_entries)
             b3 = n_blocks ** 3
             k_max_sph = 2 * b3
-            total_e = count_block_entries(cls_in[0], active_g, ENTRY_LANES)
+            # same cheap pre-gate as the gravity tier: the scatter-count
+            # only runs when the active total leaves the entries tier
+            # in play (see _treepm_gravity)
+            n_act_g = jnp.sum(active_g.astype(jnp.int32))
+            total_e = jax.lax.cond(
+                n_act_g <= k_max_sph * ENTRY_LANES,
+                lambda _: count_block_entries(cls_in[0], active_g,
+                                              ENTRY_LANES),
+                lambda _: jnp.int32(k_max_sph + 1), operand=None)
             entries_ok = total_e <= k_max_sph
             sph_entries = (entries_ok, k_max_sph, ENTRY_LANES,
                            build_active_entries)

@@ -1068,10 +1068,16 @@ def shortrange_gravity_pallas_entries(
 # ---------------------------------------------------------------------------
 # SPH density + hydro cell-pair kernels
 # ---------------------------------------------------------------------------
-def pack_sph_soa(cl: CellList, pos, vel, mass, hsml, gas_mask, needed=None):
+def pack_sph_soa(cl: CellList, pos, vel, mass, hsml, gas_mask, needed=None,
+                 centers=None, wrap=None):
     """[C, 8, cap] rows = x, y, z, m, vx, vy, vz, h (invalid: m=0,
     parked). One [N,8]-row gather + transpose (see pack_cells_soa).
-    ``needed`` [C] bool gates the gather per tile (see pack_cells_soa)."""
+    ``needed`` [C] bool gates the gather per tile (see pack_cells_soa).
+
+    ``centers`` [C, 3]: store BLOCK-RELATIVE positions (pos - center,
+    minimum-imaged mod ``wrap`` when given) — consumers then apply
+    constant stencil shifts instead of per-pair minimum image (see
+    pack_cells_soa relative=...)."""
     idx = jnp.maximum(cl.cells, 0)
     valid = (cl.cells >= 0) & gas_mask[idx]
     if needed is not None:
@@ -1080,6 +1086,11 @@ def pack_sph_soa(cl: CellList, pos, vel, mass, hsml, gas_mask, needed=None):
     table = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], mass,
                        vel[:, 0], vel[:, 1], vel[:, 2], hsml], axis=1)
     rows = table[idx]                       # [C, cap, 8]
+    if centers is not None:
+        rel = rows[:, :, :3] - centers[:, None, :]
+        if wrap is not None:
+            rel = rel - wrap * jnp.round(rel / wrap)
+        rows = jnp.concatenate([rel, rows[:, :, 3:]], axis=-1)
     far = jnp.asarray(-7.0, pos.dtype) / cl.inv_cell[0]
     z0 = jnp.zeros_like(far)
     park = jnp.stack([far, far, far, z0, z0, z0, z0, z0 + 1.0])

@@ -163,27 +163,54 @@ def _src_block_traced(b, g, nb, periodic):
     return (ox * nb_o + oy) * nb_o + oz
 
 
-def _pair_geom_minimage(t, s, box, periodic):
-    dx = t[0, :][:, None] - s[0, :][None, :]
-    dy = t[1, :][:, None] - s[1, :][None, :]
-    dz = t[2, :][:, None] - s[2, :][None, :]
-    if periodic:
-        dx = dx - box * jnp.round(dx * (1.0 / box))
-        dy = dy - box * jnp.round(dy * (1.0 / box))
-        dz = dz - box * jnp.round(dz * (1.0 / box))
+def _pair_geom_minimage(t, s, box, periodic, shift=None):
+    """``shift``: (sx, sy, sz) traced scalars — BLOCK-RELATIVE mode
+    (pack_sph_soa centers=...): dx = t_rel - s_rel + (c_even - c_odd);
+    the per-pair minimum image disappears (rel coords are
+    wrap-invariant, the even->odd center offset is (1-2g)*Lf)."""
+    if shift is not None:
+        dx = t[0, :][:, None] - s[0, :][None, :] + shift[0]
+        dy = t[1, :][:, None] - s[1, :][None, :] + shift[1]
+        dz = t[2, :][:, None] - s[2, :][None, :] + shift[2]
+    else:
+        dx = t[0, :][:, None] - s[0, :][None, :]
+        dy = t[1, :][:, None] - s[1, :][None, :]
+        dz = t[2, :][:, None] - s[2, :][None, :]
+        if periodic:
+            dx = dx - box * jnp.round(dx * (1.0 / box))
+            dy = dy - box * jnp.round(dy * (1.0 / box))
+            dz = dz - box * jnp.round(dz * (1.0 / box))
     r2 = dx * dx + dy * dy + dz * dz
     rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
     return dx, dy, dz, r2 * rinv, rinv
 
 
+def block_centers(nb: int, parity: str, fine_edge, origin, dtype):
+    """[nb^3, 3] geometric centers of even/odd blocks (fine-cell edge
+    ``fine_edge``; even block w covers fine cells {2w, 2w+1} -> center
+    (2w+1)*Lf; odd block w covers {2w-1, 2w} -> center 2w*Lf)."""
+    c_arr = jnp.arange(nb**3, dtype=jnp.int32)
+    cx = (c_arr // (nb * nb)).astype(dtype)
+    cy = ((c_arr // nb) % nb).astype(dtype)
+    cz = (c_arr % nb).astype(dtype)
+    xyz = jnp.stack([cx, cy, cz], -1) * 2.0
+    if parity == "even":
+        xyz = xyz + 1.0
+    return xyz * fine_edge + origin
+
+
 def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool,
-                               sparse: bool = False):
+                               sparse: bool = False,
+                               relative: bool = False):
     from gadget_leicester_tpu.ops.sph_kernels import (kernel_dw_dr,
                                                       kernel_w_and_dwdh)
 
-    def compute(t, ht, s, acc):
+    lf = box / (2 * nb)     # fine-cell edge (relative-mode shift unit)
+
+    def compute(t, ht, s, acc, shift=None):
         rho, drhodh, divv, rx, ry, rz = acc
-        dx, dy, dz, r, rinv = _pair_geom_minimage(t, s, box, periodic)
+        dx, dy, dz, r, rinv = _pair_geom_minimage(t, s, box, periodic,
+                                                  shift)
         w, dwdh = kernel_w_and_dwdh(r, ht)
         dwdr = kernel_dw_dr(r, ht)
         m = s[3, :][None, :]
@@ -220,6 +247,13 @@ def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool,
                     dma_g(g4 + 1, nxt).start()
 
                 dma_g(g4, slot).wait()
+                if relative:
+                    shx = (1 - 2 * (g4 >> 1)).astype(jnp.float32) * lf
+                    shy = (1 - 2 * (g4 & 1)).astype(jnp.float32) * lf
+                    acc = compute(t, ht, buf[slot, 0], acc,
+                                  shift=(shx, shy, lf))
+                    return compute(t, ht, buf[slot, 1], acc,
+                                   shift=(shx, shy, -lf))
                 acc = compute(t, ht, buf[slot, 0], acc)
                 return compute(t, ht, buf[slot, 1], acc)
 
@@ -266,7 +300,13 @@ def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool,
             ht = h_ref[0, 0, :][:, None]
             acc = (out_ref[0, 0, :], out_ref[0, 1, :], out_ref[0, 2, :],
                    out_ref[0, 3, :], out_ref[0, 4, :], out_ref[0, 5, :])
-            rho, drhodh, divv, rx, ry, rz = compute(t, ht, src_ref[0], acc)
+            shift = None
+            if relative:
+                shift = ((1 - 2 * (g >> 2)).astype(jnp.float32) * lf,
+                         (1 - 2 * ((g >> 1) & 1)).astype(jnp.float32) * lf,
+                         (1 - 2 * (g & 1)).astype(jnp.float32) * lf)
+            rho, drhodh, divv, rx, ry, rz = compute(t, ht, src_ref[0], acc,
+                                                    shift=shift)
             out_ref[0, 0, :] = rho
             out_ref[0, 1, :] = drhodh
             out_ref[0, 2, :] = divv
@@ -294,11 +334,13 @@ def _src_index_fn(nb, periodic):
 
 
 def density_sums_blocks(cl_e: CellList, soa_e, soa_o, h_slots, box: float,
-                        interpret: bool = False, flags=None):
+                        interpret: bool = False, flags=None,
+                        relative: bool = False):
     """Density sweep on block tiles. soa_e/soa_o: [B,8,lanes]/[Bo,8,lanes]
     from pack_sph_soa on the even/odd lists; h_slots [B, lanes]. Returns
     [B, 8, lanes] rows (rho, drhodh, divv, rot xyz). ``flags`` [B,1] int32
-    gates tiles (DMA path only; None = all on)."""
+    gates tiles (DMA path only; None = all on). ``relative``: soas hold
+    block-relative coords (pack_sph_soa centers=...)."""
     b, _, lanes = soa_e.shape
     nb = cl_e.n_cells
     periodic = cl_e.periodic
@@ -319,13 +361,14 @@ def density_sums_blocks(cl_e: CellList, soa_e, soa_o, h_slots, box: float,
         )
         return pl.pallas_call(
             _make_density_block_kernel(float(box), periodic, nb, lanes,
-                                       dma=False),
+                                       dma=False, relative=relative),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_e.dtype),
             interpret=True,
         )(flags, soa_e, soa_o, h_slots.reshape(b, 1, lanes))
     return pl.pallas_call(
-        _make_density_block_kernel(float(box), periodic, nb, lanes, dma=True),
+        _make_density_block_kernel(float(box), periodic, nb, lanes, dma=True,
+                                   relative=relative),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
@@ -349,19 +392,32 @@ def density_sums_blocks(cl_e: CellList, soa_e, soa_o, h_slots, box: float,
 
 
 def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
-                             dma: bool, sparse: bool = False):
+                             dma: bool, sparse: bool = False,
+                             relative: bool = False):
     from gadget_leicester_tpu.ops.sph_kernels import kernel_dw_dr
 
-    def compute(params, ta, tb, s16, acc):
+    lf = box / (2 * nb)     # fine-cell edge (relative-mode shift unit)
+
+    def compute(params, ta, tb, s16, acc, shift=None):
         # s16 rows: 0-7 = soa_a (x,y,z,m,vx,vy,vz,h);
         #           8-12 = soa_b (rho, p_over_rho2*f, c+..., balsara, valid)
         hubble_a2_flow, fac_mu = params
         ax_a, ay_a, az_a, dte, msv_a = acc
         sa = s16[:8]
-        dx, dy, dz, r, rinv = _pair_geom_minimage(ta, sa, box, periodic)
+        dx, dy, dz, r, rinv = _pair_geom_minimage(ta, sa, box, periodic,
+                                                  shift)
         ht = ta[7, :][:, None]
         hs = sa[7, :][None, :]
-        inside = (r < jnp.maximum(ht, hs)) & (r > 0.0)
+        if shift is not None:
+            # BLOCK-RELATIVE mode: the self-pair (every particle is in
+            # both the even and the odd list) has dx = (p-c_e)-(p-c_o)
+            # +(c_e-c_o) = 0 only up to fp rounding — r ~ ulp slips the
+            # r>0 gate and mu = vdotr/r is garbage. Exclude by particle
+            # id (row 13 / tb[5]; float32-exact below 2^24 particles).
+            inside = (r < jnp.maximum(ht, hs)) & \
+                (tb[5, :][:, None] != s16[13, :][None, :])
+        else:
+            inside = (r < jnp.maximum(ht, hs)) & (r > 0.0)
         inside = inside & (s16[12, :][None, :] > 0.0)
         dwk_i = kernel_dw_dr(r, ht)
         dwk_j = kernel_dw_dr(r, hs)
@@ -419,6 +475,13 @@ def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
                     dma_g(g4 + 1, nxt).start()
 
                 dma_g(g4, slot).wait()
+                if relative:
+                    shx = (1 - 2 * (g4 >> 1)).astype(jnp.float32) * lf
+                    shy = (1 - 2 * (g4 & 1)).astype(jnp.float32) * lf
+                    acc = compute(params, ta, tb, buf[slot, 0], acc,
+                                  shift=(shx, shy, lf))
+                    return compute(params, ta, tb, buf[slot, 1], acc,
+                                   shift=(shx, shy, -lf))
                 acc = compute(params, ta, tb, buf[slot, 0], acc)
                 return compute(params, ta, tb, buf[slot, 1], acc)
 
@@ -460,8 +523,13 @@ def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
         def _gated():
             acc = (out_ref[0, 0, :], out_ref[0, 1, :], out_ref[0, 2, :],
                    out_ref[0, 3, :], out_ref[0, 4, :])
+            shift = None
+            if relative:
+                shift = ((1 - 2 * (g >> 2)).astype(jnp.float32) * lf,
+                         (1 - 2 * ((g >> 1) & 1)).astype(jnp.float32) * lf,
+                         (1 - 2 * (g & 1)).astype(jnp.float32) * lf)
             ax, ay, az, dte, msv = compute(params, tgt_a[0], tgt_b[0],
-                                           src_ref[0], acc)
+                                           src_ref[0], acc, shift=shift)
             out_ref[0, 0, :] = ax
             out_ref[0, 1, :] = ay
             out_ref[0, 2, :] = az
@@ -473,7 +541,8 @@ def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
 
 def hydro_sums_blocks(cl_e: CellList, soa_a, soa_b, src16, box: float,
                       visc_const: float, hubble_a2_flow, fac_mu,
-                      interpret: bool = False, flags=None):
+                      interpret: bool = False, flags=None,
+                      relative: bool = False):
     """Hydro sweep on block tiles. soa_a/soa_b: even [B,8,lanes];
     src16: odd [Bo,16,lanes] (rows 0-7 = a, 8-12 = b). Output rows:
     ax, ay, az, dt_ent_raw, max_signal_vel. ``flags`` [B,1] gates tiles
@@ -503,14 +572,16 @@ def hydro_sums_blocks(cl_e: CellList, soa_a, soa_b, src16, box: float,
         )
         return pl.pallas_call(
             _make_hydro_block_kernel(float(box), periodic, nb, lanes,
-                                     float(visc_const), dma=False),
+                                     float(visc_const), dma=False,
+                                     relative=relative),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_a.dtype),
             interpret=True,
         )(flags, params, soa_a, soa_b, src16)
     return pl.pallas_call(
         _make_hydro_block_kernel(float(box), periodic, nb, lanes,
-                                 float(visc_const), dma=True),
+                                 float(visc_const), dma=True,
+                                 relative=relative),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
@@ -579,8 +650,23 @@ def density_adaptive_blocks(
             flags = None
 
         ones = jnp.ones(ng, pos.dtype)
-        soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask)
-        soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask)
+        # BLOCK-RELATIVE coords on fully-periodic cubic grids: kernels
+        # apply constant (1-2g)*Lf stencil shifts instead of per-pair
+        # minimum image (exact for in-margin stale assignments — rel
+        # coords are wrap-invariant; see _pair_geom_minimage)
+        rel_on = periodic is True
+        if rel_on:
+            nb = cl_e.n_cells
+            lf = box / (2 * nb)
+            ctr_e = block_centers(nb, "even", lf, cl_e.origin, pos.dtype)
+            ctr_o = block_centers(nb, "odd", lf, cl_o.origin, pos.dtype)
+            soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask,
+                                 centers=ctr_e, wrap=box)
+            soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask,
+                                 centers=ctr_o, wrap=box)
+        else:
+            soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask)
+            soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask)
         idx = jnp.maximum(cl_e.cells, 0)
         valid = (cl_e.cells >= 0) & gas_mask[idx]
         if active is not None:
@@ -597,7 +683,8 @@ def density_adaptive_blocks(
             fl = jnp.any(undone.reshape(b, lanes), axis=1).astype(jnp.int32)
         out = density_sums_blocks(cl_e, soa_e, soa_o,
                                   h_slots.reshape(b, lanes), box,
-                                  interpret=interpret, flags=fl)
+                                  interpret=interpret, flags=fl,
+                                  relative=rel_on)
         rho = out[:, 0, :].reshape(-1)
         drhodh = out[:, 1, :].reshape(-1)
         divv = out[:, 2, :].reshape(-1)
@@ -643,7 +730,6 @@ def hydro_force_blocks(
     """Entropy-form hydro force on block tiles; cls = (cl_even, cl_odd)
     from density_adaptive_blocks. [G2: hydra.c :: hydro_evaluate()]"""
     from gadget_leicester_tpu.core.config import GAMMA, GAMMA_MINUS1
-    from gadget_leicester_tpu.ops.pallas_cells import pack_sph_soa
     from gadget_leicester_tpu.ops.sph_dense import HydroResult
 
     cl_e, cl_o = cls
@@ -663,22 +749,55 @@ def hydro_force_blocks(
         else:
             flags = None
 
-        soa_a = pack_sph_soa(cl_e, pos, vel, mass, hsml, gas_mask)
+        # ONE [N,16] row gather per list (cf. pack_cells_soa): the a-rows
+        # (x,y,z,m,vx,vy,vz,h) and b-rows (rho, p/rho^2*f, c_snd,
+        # balsara, valid) arrive in a single gather instead of an 8-row
+        # pack + 4 scalar gathers + concat per list
+        zero = jnp.zeros_like(mass)
+        # row 13 = particle id (float32-exact < 2^24): the relative-mode
+        # kernel's exact self-pair exclusion (see _make_hydro_block_kernel)
+        pid = jnp.arange(pos.shape[0], dtype=pos.dtype)
+        table16 = jnp.stack(
+            [pos[:, 0], pos[:, 1], pos[:, 2], mass,
+             vel[:, 0], vel[:, 1], vel[:, 2], hsml,
+             rho, p_over_rho2, c_snd, balsara,
+             jnp.ones_like(mass), pid, zero, zero], axis=1)
+        far = jnp.asarray(-7.0, pos.dtype) / cl_e.inv_cell[0]
+        park16 = (jnp.zeros((16,), pos.dtype).at[:3].set(far)
+                  .at[7].set(1.0).at[13].set(-1.0))
 
-        def soa_b_of(cl):
+        # block-relative coords on fully-periodic grids (must match the
+        # density packs — see density_adaptive_blocks)
+        rel_on = cl_e.periodic is True
+
+        def pack16(cl, centers=None):
             idx = jnp.maximum(cl.cells, 0)
-            valid = ((cl.cells >= 0) & gas_mask[idx]).astype(pos.dtype)
-            zero = jnp.zeros_like(valid)
-            return jnp.stack([rho[idx], p_over_rho2[idx], c_snd[idx],
-                              balsara[idx], valid, zero, zero, zero], axis=1)
+            valid = (cl.cells >= 0) & gas_mask[idx]
+            rows = table16[idx]                       # [B, lanes, 16]
+            if centers is not None:
+                rel = rows[:, :, :3] - centers[:, None, :]
+                rel = rel - box * jnp.round(rel * (1.0 / box))
+                rows = jnp.concatenate([rel, rows[:, :, 3:]], axis=-1)
+            rows = jnp.where(valid[:, :, None], rows,
+                             park16[None, None, :])
+            return rows.transpose(0, 2, 1)            # [B, 16, lanes]
 
-        soa_b = soa_b_of(cl_e)
-        src_a = pack_sph_soa(cl_o, pos, vel, mass, hsml, gas_mask)
-        src16 = jnp.concatenate([src_a, soa_b_of(cl_o)], axis=1)
+        if rel_on:
+            nb_h = cl_e.n_cells
+            lf_h = box / (2 * nb_h)
+            rows_e = pack16(cl_e, block_centers(nb_h, "even", lf_h,
+                                                cl_e.origin, pos.dtype))
+            src16 = pack16(cl_o, block_centers(nb_h, "odd", lf_h,
+                                               cl_o.origin, pos.dtype))
+        else:
+            rows_e = pack16(cl_e)
+            src16 = pack16(cl_o)
+        soa_a = rows_e[:, :8]
+        soa_b = rows_e[:, 8:]
 
     out = hydro_sums_blocks(cl_e, soa_a, soa_b, src16, box, visc_const,
                             hubble_a2_flow, fac_mu, interpret=interpret,
-                            flags=flags)
+                            flags=flags, relative=rel_on)
     with jax.named_scope("hydro_merge"):
         from gadget_leicester_tpu.ops.neighbors import merge_rows
         res5 = merge_rows(out, cl_e, 5, ng)

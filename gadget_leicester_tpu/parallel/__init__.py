@@ -11,8 +11,9 @@ MPI_Sendrecv export buffers, FFTW slab transposes) collapses into:
 * XLA GSPMD inserting collectives (psum/all_gather/all_to_all over ICI)
   for the cross-shard interactions — the export/evaluate/return pattern
   becomes compiler-inserted communication (SURVEY.md §5 backend mapping);
-* hand-written ``shard_map`` + ``ppermute`` halo exchange for the hot
-  paths where GSPMD's choice is suboptimal (``parallel.halo``).
+* hand-written ``shard_map`` + ``ppermute`` ghost exchange for the hot
+  paths where GSPMD's choice is suboptimal (the owner-computes slab
+  step in ``parallel.spmd``; see ``spmd._ghost_exchange``).
 """
 
 from gadget_leicester_tpu.parallel.mesh import (make_mesh, shard_state,

@@ -359,7 +359,9 @@ def _insert_into_dead(fields, alive, recv, valid_in):
 # The SPMD step factory
 # ---------------------------------------------------------------------------
 def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
-                   edges=None, migrate_frac: float = 0.15, domain=None):
+                   edges=None, migrate_frac: float = 0.15, domain=None,
+                   phases: frozenset = frozenset(
+                       ("drift", "migrate", "gravity", "sph", "kick"))):
     """Jitted owner-computes sync-point step over `mesh` (state in the
     to_spmd slab layout). ``edges``: the [d+1] slab boundaries from
     to_spmd (None = uniform) — cost-balanced decomposition bakes them as
@@ -1046,26 +1048,34 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         ti_next = jax.lax.pmin(ti_local, AXIS)
         ti_next = jnp.minimum(ti_next, st.pm_ti_endstep)
 
-        with jax.named_scope("spmd_drift"):
-            st = integrate.drift_all(st, cfg, opts, ti_next)
+        # ``phases`` is an anatomy knob (tools/anatomy_spmd.py): cumulative
+        # prefixes of the phase list isolate per-phase device cost. The
+        # default runs everything; partial steps are NOT physical.
+        if "drift" in phases:
+            with jax.named_scope("spmd_drift"):
+                st = integrate.drift_all(st, cfg, opts, ti_next)
         is_pm_step = st.ti_current == st.pm_ti_endstep
 
-        with jax.named_scope("spmd_migrate"):
-            st = _migrate(st, me)
-        with jax.named_scope("spmd_gravity"):
-            st, active = _gravity(st, me, x0, x1, xc, is_pm_step)
-        if st.gas.n_gas_max > 1:
+        if "migrate" in phases:
+            with jax.named_scope("spmd_migrate"):
+                st = _migrate(st, me)
+        active = (st.p.ti_endstep == st.ti_current) & st.p.alive
+        if "gravity" in phases:
+            with jax.named_scope("spmd_gravity"):
+                st, active = _gravity(st, me, x0, x1, xc, is_pm_step)
+        if st.gas.n_gas_max > 1 and "sph" in phases:
             with jax.named_scope("spmd_sph"):
                 st = _sph(st, me, x0, x1, xc, active)
-        if opts.cooling != "none":
+        if opts.cooling != "none" and "kick" in phases:
             from gadget_leicester_tpu.models.cooling import apply_cooling
             st = apply_cooling(st, cfg, opts)
-        if opts.sinks:
+        if opts.sinks and "kick" in phases:
             st = _sinks(st, me)
-        with jax.named_scope("spmd_kick"):
-            st = integrate.advance_and_find_timesteps(st, cfg, opts)
-            st = integrate.pm_step_update(st, cfg, opts, is_pm_step,
-                                          axis_name=AXIS, pm_box=box)
+        if "kick" in phases:
+            with jax.named_scope("spmd_kick"):
+                st = integrate.advance_and_find_timesteps(st, cfg, opts)
+                st = integrate.pm_step_update(st, cfg, opts, is_pm_step,
+                                              axis_name=AXIS, pm_box=box)
         # overflow bits are shard-local; OR them across shards (psum per
         # bit) so the replicated scalar out-spec is valid and the host
         # sees every shard's trouble

@@ -63,41 +63,3 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
-
-
-def test_halo_exchange_shortrange_matches_single_device():
-    """Explicit slab + ppermute ghost exchange == single-device cutoff
-    force (the hand-SPMD rebuild of the export/import pattern)."""
-    import jax.numpy as jnp
-    from gadget_leicester_tpu.ops.gravity_direct import direct_gravity
-    from gadget_leicester_tpu.parallel.halo import (make_halo_shortrange,
-                                                    slab_sort)
-    rng = np.random.default_rng(77)
-    n, box = 2048, 8.0
-    asmth, rcut = 0.15, 0.675
-    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
-    mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
-    soft = np.full(n, 0.02, np.float32)
-
-    mesh = make_mesh(8)
-    order, pos_s, mass_s, soft_s = slab_sort(pos, mass, soft, box=box,
-                                             n_shards=8)
-    # equal shard sizes required: slabs of a uniform box are near-equal;
-    # pad by slab to exact N/8 each
-    slab = np.clip((pos_s[:, 0] / box * 8).astype(int), 0, 7)
-    counts = [int((slab == s).sum()) for s in range(8)]
-    per = min(counts)  # equal shard sizes: subsample each slab to the min
-    rows = np.concatenate([np.where(slab == s)[0][:per] for s in range(8)])
-    pos_e, mass_e, soft_e = pos_s[rows], mass_s[rows], soft_s[rows]
-    alive_e = np.ones(len(rows), bool)
-
-    fn = make_halo_shortrange(mesh, box, rcut, asmth, ghost_cap=512)
-    acc_sh, ovf = fn(jnp.asarray(pos_e), jnp.asarray(mass_e),
-                     jnp.asarray(soft_e), jnp.asarray(alive_e))
-    assert not bool(ovf)
-    acc_ref, _ = direct_gravity(jnp.asarray(pos_e), jnp.asarray(mass_e),
-                                jnp.asarray(soft_e), jnp.asarray(alive_e),
-                                box=box, asmth=asmth, rcut=rcut,
-                                periodic=True, block=256)
-    np.testing.assert_allclose(np.asarray(acc_sh), np.asarray(acc_ref),
-                               rtol=5e-4, atol=1e-5)

@@ -12,6 +12,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import jax.numpy as jnp
 
 
@@ -166,6 +168,84 @@ MinGasHsmlFractional 0.1
     jcntb = jax.jit(lambda a: count_block_entries(cl_e, a, ENTRY_LANES))
     chained("count_block_entries", lambda salt: jcntb(
         active[:ng] & (st_d.p.mass[:ng] + salt >= 0)))
+
+    # ---- SPH sub-phases, exactly as the real step calls them ----------
+    from gadget_leicester_tpu.models.forces import (comoving_factors,
+                                                    compute_sph)
+    fac = comoving_factors(cfg, st_d.ti_current)
+    act_g = active[:ng]
+
+    jsph = jax.jit(lambda s: compute_sph(s, sim.cfg, sim.opts, fac,
+                                         act_g))
+    chained("compute_sph TOTAL", lambda salt: jsph(
+        dataclasses.replace(st_d, p=dataclasses.replace(
+            st_d.p, pos=st_d.p.pos + salt * 1e-6))))
+
+    from gadget_leicester_tpu.models.grids import (KAPPA_SPH,
+                                                   sph_blocks_geometry)
+    from gadget_leicester_tpu.ops.sph_blocks import (
+        density_adaptive_blocks, hydro_force_blocks)
+    n_blocks, subcap = sph_blocks_geometry(cfg, sim.opts, ng)
+    cls_in = st_d.grids.sph
+    subcell = cfg.box_size / (2 * n_blocks)
+    max_hsml = (1.0 - 2.0 * KAPPA_SPH) * subcell
+    gas = st_d.gas
+    gas_mask = st_d.p.alive[:ng] & (st_d.p.ptype[:ng] == 0)
+    from gadget_leicester_tpu.ops.softening import SOFTFAC
+    from gadget_leicester_tpu.models.forces import softening_table
+    eps_gas = softening_table(cfg, fac.atime)[0]
+    min_hsml = cfg.min_gas_hsml_fractional * SOFTFAC * eps_gas
+    dkw = dict(des_num_ngb=cfg.des_num_ngb,
+               max_dev=cfg.max_num_ngb_deviation,
+               box=float(cfg.box_size), min_hsml=min_hsml,
+               max_hsml=max_hsml, periodic=True)
+
+    jd = jax.jit(lambda q: density_adaptive_blocks(
+        q, gas.vel_pred, st_d.p.mass[:ng],
+        jnp.minimum(gas.hsml, max_hsml), gas_mask,
+        n_blocks=n_blocks, subcap=subcap, active=act_g, cls=cls_in,
+        **dkw)[0])
+    chained("  density_adaptive_blocks (real call)",
+            lambda salt: jd(st_d.p.pos[:ng] + salt * 1e-6))
+
+    dres = jd(st_d.p.pos[:ng])
+    from gadget_leicester_tpu.core.config import GAMMA
+    pressure = jnp.where(gas_mask, gas.entropy_pred * dres.rho**GAMMA, 0.0)
+    hkw = dict(visc_const=cfg.art_bulk_visc_const,
+               box=float(cfg.box_size),
+               hubble_a2_flow=fac.hubble_a2_flow,
+               hubble_a2_norm=fac.hubble_a2_norm, fac_mu=fac.fac_mu)
+    jh = jax.jit(lambda q: hydro_force_blocks(
+        cls_in, q, gas.vel_pred, st_d.p.mass[:ng], dres.hsml, dres.rho,
+        pressure, dres.dhsml_factor, dres.div_vel, dres.curl_vel,
+        gas_mask, active=act_g, **hkw))
+    chained("  hydro_force_blocks (real call)",
+            lambda salt: jh(st_d.p.pos[:ng] + salt * 1e-6))
+
+    # density with h exactly as drift left it (no extra Newton salt)
+    from gadget_leicester_tpu.ops.sph_blocks import density_sums_blocks
+    from gadget_leicester_tpu.ops.pallas_cells import pack_sph_soa
+    cl_e2, cl_o2 = cls_in
+    ones = jnp.ones(ng, jnp.float32)
+    jsweep = jax.jit(lambda q: density_sums_blocks(
+        cl_e2,
+        pack_sph_soa(cl_e2, q, gas.vel_pred, st_d.p.mass[:ng], ones,
+                     gas_mask),
+        pack_sph_soa(cl_o2, q, gas.vel_pred, st_d.p.mass[:ng], ones,
+                     gas_mask),
+        jnp.minimum(gas.hsml, max_hsml)[
+            jnp.maximum(cl_e2.cells, 0)].reshape(cl_e2.cells.shape),
+        float(cfg.box_size)))
+    chained("  one density sweep (pack+kernel)",
+            lambda salt: jsweep(st_d.p.pos[:ng] + salt * 1e-6))
+
+    jpk = jax.jit(lambda q: (
+        pack_sph_soa(cl_e2, q, gas.vel_pred, st_d.p.mass[:ng], ones,
+                     gas_mask),
+        pack_sph_soa(cl_o2, q, gas.vel_pred, st_d.p.mass[:ng], ones,
+                     gas_mask)))
+    chained("  2x pack_sph_soa", lambda salt: jpk(
+        st_d.p.pos[:ng] + salt * 1e-6))
 
 
 if __name__ == "__main__":
