@@ -131,22 +131,25 @@ def init_drift_tables(cfg: SimConfig) -> DriftTables:
 # small steps, so instead we evaluate each interval integral DIRECTLY with
 # fixed-order Gauss-Legendre quadrature in log(a) — cancellation-free,
 # branch-free, vectorises over per-particle (ti0, ti1) intervals, and needs
-# no tables at all. 8-point GL on smooth cosmological integrands over
-# d(loga) <~ 0.1 is accurate to ~1e-12 relative.
+# no tables at all. 3-point GL on these smooth (exponential-in-loga)
+# integrands is accurate to ~5e-7 relative even over d(loga) ~ 1 (error
+# scales as h^7 f^(6); per-particle intervals are <~ 0.05, where the
+# error is below f32 resolution) — and each node costs an exp + a
+# hubble sqrt PER PARTICLE per call, so the order is a direct O(N)
+# hot-loop cost (6+ factor calls per sync point).
 #
 # In physical (non-comoving) runs all three factors are simply dt
 # [G2: predict.c / timestep.c branch on All.ComovingIntegrationOn].
 # ---------------------------------------------------------------------------
-# 8-point Gauss-Legendre nodes/weights on [0, 1], kept as PYTHON floats:
+# 3-point Gauss-Legendre nodes/weights on [0, 1], kept as PYTHON floats:
 # array-shaped trace constants get hoisted as executable parameters, which
 # this environment's pjit fast path then fails to re-supply on cached
 # calls ("Execution supplied N buffers but compiled program expected M") —
 # scalar constants inline into the HLO and avoid the bug entirely.
 _GL = (
-    (0.01985507, 0.05061427), (0.10166676, 0.11119052),
-    (0.23723380, 0.15685332), (0.40828268, 0.18134189),
-    (0.59171732, 0.18134189), (0.76276620, 0.15685332),
-    (0.89833324, 0.11119052), (0.98014493, 0.05061427),
+    (0.1127016653792583, 0.2777777777777778),
+    (0.5, 0.4444444444444444),
+    (0.8872983346207417, 0.2777777777777778),
 )
 
 

@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -37,28 +38,51 @@ from gadget_leicester_tpu.ops.jit_util import hybrid_jit
 from gadget_leicester_tpu.ops.neighbors import CellList
 
 
-def build_block_lists(pos, mask, origin, extent, n_blocks: int,
-                      subcap: int, periodic: bool):
+def _nb3(nb):
+    """Per-axis block counts: int -> cubic; tuple passes through."""
+    return (nb, nb, nb) if isinstance(nb, (int, np.integer)) else tuple(nb)
+
+
+def _per3(periodic):
+    """Per-axis periodicity: bool -> uniform; tuple passes through."""
+    return ((periodic, periodic, periodic) if isinstance(periodic, bool)
+            else tuple(periodic))
+
+
+def _odd3(nb3, per3):
+    """Odd-grid per-axis block counts (non-periodic axes gain a block)."""
+    return tuple(n if p else n + 1 for n, p in zip(nb3, per3))
+
+
+def build_block_lists(pos, mask, origin, extent, n_blocks,
+                      subcap: int, periodic):
     """Bin into a (2*n_blocks)^3 fine grid; return (even, odd) CellLists
     whose ``cells`` are [B, 8*subcap] tiles (lane = subcell*subcap + rank).
 
     One sort serves both packings: ranks are within FINE subcells, which
     even and odd blocks merely regroup. Overflow = any fine cell > subcap.
+
+    ``n_blocks``/``periodic`` may be per-axis tuples (anisotropic grids —
+    the SPMD slab: non-periodic extended x over [x0-reach, x1+reach],
+    periodic y/z over the box). The FINE CELL EDGE should be uniform
+    across axes (choose extent_i = n_blocks_i * block_edge) — the
+    relative-mode kernels assume one scalar shift unit.
     """
     n = pos.shape[0]
-    m = 2 * n_blocks
-    nb = n_blocks
+    nb3, per3 = _nb3(n_blocks), _per3(periodic)
+    m3 = tuple(2 * q for q in nb3)
     origin = jnp.broadcast_to(jnp.asarray(origin, pos.dtype), (3,))
     extent = jnp.broadcast_to(jnp.asarray(extent, pos.dtype), (3,))
-    inv_cell = m / extent
+    inv_cell = jnp.asarray(m3, pos.dtype) / extent
     rel = (pos - origin) * inv_cell
     coords = jnp.floor(rel).astype(jnp.int32)
-    if periodic:
-        coords = jnp.mod(coords, m)
-    else:
-        coords = jnp.clip(coords, 0, m - 1)
-    cid_f = (coords[..., 0] * m + coords[..., 1]) * m + coords[..., 2]
-    total_f = m**3
+    m_arr = jnp.asarray(m3, jnp.int32)
+    per_arr = np.asarray(per3)
+    coords = jnp.where(per_arr[None, :], jnp.mod(coords, m_arr),
+                       jnp.clip(coords, 0, m_arr - 1))
+    cid_f = (coords[..., 0] * m3[1] + coords[..., 1]) * m3[2] \
+        + coords[..., 2]
+    total_f = m3[0] * m3[1] * m3[2]
     cid_sort = jnp.where(mask, cid_f, total_f)
     order = jnp.argsort(cid_sort)
     cid_sorted = cid_sort[order]
@@ -71,33 +95,31 @@ def build_block_lists(pos, mask, origin, extent, n_blocks: int,
 
     c_sorted = coords[order]
 
-    def pack(c, nb_eff):
+    def pack(c, dims):
         """c: [N,3] fine coords (possibly shifted); returns flat block id
         and lane for each sorted particle."""
         b = c >> 1
         s = c & 1
-        bid = (b[:, 0] * nb_eff + b[:, 1]) * nb_eff + b[:, 2]
+        bid = (b[:, 0] * dims[1] + b[:, 1]) * dims[2] + b[:, 2]
         sub = (s[:, 0] * 2 + s[:, 1]) * 2 + s[:, 2]
         return bid, sub * subcap + rank
 
     lanes = 8 * subcap
     # even packing
-    bid_e, lane_e = pack(c_sorted, nb)
-    n_e = nb**3
+    bid_e, lane_e = pack(c_sorted, nb3)
+    n_e = nb3[0] * nb3[1] * nb3[2]
     cells_e = jnp.full((n_e + 1, lanes), -1, jnp.int32)
     cells_e = cells_e.at[
         jnp.where(ok, bid_e, n_e), jnp.where(ok, lane_e, 0)
     ].set(jnp.where(ok, order.astype(jnp.int32), -1), mode="drop")
 
-    # odd packing: shift fine coords by +1 (block w holds {2w-1, 2w})
-    if periodic:
-        c_o = jnp.mod(c_sorted + 1, m)
-        nb_o = nb
-    else:
-        c_o = c_sorted + 1
-        nb_o = nb + 1
-    bid_o, lane_o = pack(c_o, nb_o)
-    n_o = nb_o**3
+    # odd packing: shift fine coords by +1 (block w holds {2w-1, 2w});
+    # periodic axes wrap, non-periodic axes gain a block
+    c_o = jnp.where(per_arr[None, :], jnp.mod(c_sorted + 1, m_arr),
+                    c_sorted + 1)
+    nbo3 = _odd3(nb3, per3)
+    bid_o, lane_o = pack(c_o, nbo3)
+    n_o = nbo3[0] * nbo3[1] * nbo3[2]
     cells_o = jnp.full((n_o + 1, lanes), -1, jnp.int32)
     cells_o = cells_o.at[
         jnp.where(ok, bid_o, n_o), jnp.where(ok, lane_o, 0)
@@ -105,6 +127,11 @@ def build_block_lists(pos, mask, origin, extent, n_blocks: int,
 
     counts = jnp.zeros((total_f + 1,), jnp.int32).at[cid_sorted].add(1)
     overflow = jnp.any(counts[:total_f] > subcap)
+
+    # preserve the scalar API in the cubic case (cache pytree stability)
+    nb_meta = n_blocks if isinstance(n_blocks, (int, np.integer)) else nb3
+    nbo_meta = (nbo3[0] if isinstance(n_blocks, (int, np.integer))
+                else nbo3)
 
     def mk(cells, nb_, bid, lane):
         # inverse map for gather-merges (neighbors.merge_rows):
@@ -115,52 +142,53 @@ def build_block_lists(pos, mask, origin, extent, n_blocks: int,
                         overflow=overflow, origin=origin, inv_cell=inv_cell,
                         gslot=gslot, n_cells=nb_, periodic=periodic)
 
-    return (mk(cells_e[:n_e], nb, bid_e, lane_e),
-            mk(cells_o[:n_o], nb_o, bid_o, lane_o))
+    return (mk(cells_e[:n_e], nb_meta, bid_e, lane_e),
+            mk(cells_o[:n_o], nbo_meta, bid_o, lane_o))
 
 
 def _zpad_odd(arr, nb, periodic):
     """Odd-packing arrays [Bo, rows, lanes] -> z-contiguous layout so the
     two gz-source blocks of a (gx,gy) column are ADJACENT rows (one DMA):
-    periodic grids append a z-wrap copy ([nb,nb,nb+1] rows); non-periodic
-    odd grids are already (nb+1)^3 and contiguous."""
-    if not periodic:
+    z-periodic grids append a z-wrap copy; non-periodic-z odd grids are
+    already z-contiguous (nbz+1 rows)."""
+    nb3, per3 = _nb3(nb), _per3(periodic)
+    nbo = _odd3(nb3, per3)
+    if not per3[2]:
         return arr
     r, l = arr.shape[1], arr.shape[2]
-    a = arr.reshape(nb, nb, nb, r, l)
+    a = arr.reshape(nbo[0], nbo[1], nbo[2], r, l)
     a = jnp.concatenate([a, a[:, :, :1]], axis=2)
-    return a.reshape(nb * nb * (nb + 1), r, l)
+    return a.reshape(nbo[0] * nbo[1] * (nbo[2] + 1), r, l)
 
 
 def _src_pair_base(b, g4, nb, periodic):
     """Flat base row (in the _zpad_odd layout) of the (gx,gy) column's
     two z-consecutive source blocks for even target block b."""
-    bx = b // (nb * nb)
-    rem = b % (nb * nb)
-    by, bz = rem // nb, rem % nb
+    nb3, per3 = _nb3(nb), _per3(periodic)
+    nbo = _odd3(nb3, per3)
+    bx = b // (nb3[1] * nb3[2])
+    rem = b % (nb3[1] * nb3[2])
+    by, bz = rem // nb3[2], rem % nb3[2]
     gx, gy = g4 >> 1, g4 & 1
-    if periodic:
-        ox, oy = (bx + gx) % nb, (by + gy) % nb
-        return (ox * nb + oy) * (nb + 1) + bz
-    ox, oy = bx + gx, by + gy
-    nb_o = nb + 1
-    return (ox * nb_o + oy) * nb_o + bz
+    ox = (bx + gx) % nbo[0] if per3[0] else bx + gx
+    oy = (by + gy) % nbo[1] if per3[1] else by + gy
+    # z stride in the zpad layout: periodic z appends a wrap copy
+    zdim = nbo[2] + 1 if per3[2] else nbo[2]
+    return (ox * nbo[1] + oy) * zdim + bz
 
 
 def _src_block_traced(b, g, nb, periodic):
     """Flat odd-block id of source g (0..7) for even target block b."""
-    bx = b // (nb * nb)
-    rem = b % (nb * nb)
-    by, bz = rem // nb, rem % nb
+    nb3, per3 = _nb3(nb), _per3(periodic)
+    nbo = _odd3(nb3, per3)
+    bx = b // (nb3[1] * nb3[2])
+    rem = b % (nb3[1] * nb3[2])
+    by, bz = rem // nb3[2], rem % nb3[2]
     gx, gy, gz = g >> 2, (g >> 1) & 1, g & 1
-    if periodic:
-        ox, oy, oz = (bx + gx) % nb, (by + gy) % nb, (bz + gz) % nb
-        nb_o = nb
-    else:
-        # odd grid has nb+1 blocks per axis; b+g is always in range
-        ox, oy, oz = bx + gx, by + gy, bz + gz
-        nb_o = nb + 1
-    return (ox * nb_o + oy) * nb_o + oz
+    ox = (bx + gx) % nbo[0] if per3[0] else bx + gx
+    oy = (by + gy) % nbo[1] if per3[1] else by + gy
+    oz = (bz + gz) % nbo[2] if per3[2] else bz + gz
+    return (ox * nbo[1] + oy) * nbo[2] + oz
 
 
 def _pair_geom_minimage(t, s, box, periodic, shift=None):
@@ -173,26 +201,34 @@ def _pair_geom_minimage(t, s, box, periodic, shift=None):
         dy = t[1, :][:, None] - s[1, :][None, :] + shift[1]
         dz = t[2, :][:, None] - s[2, :][None, :] + shift[2]
     else:
+        px, py, pz = _per3(periodic)
         dx = t[0, :][:, None] - s[0, :][None, :]
         dy = t[1, :][:, None] - s[1, :][None, :]
         dz = t[2, :][:, None] - s[2, :][None, :]
-        if periodic:
+        # per-axis minimum image: wrapping a NON-periodic axis is not
+        # just wasted work — on a slab whose x-extent exceeds box/2 it
+        # would fold a legitimately-distant pair INSIDE the kernel
+        if px:
             dx = dx - box * jnp.round(dx * (1.0 / box))
+        if py:
             dy = dy - box * jnp.round(dy * (1.0 / box))
+        if pz:
             dz = dz - box * jnp.round(dz * (1.0 / box))
     r2 = dx * dx + dy * dy + dz * dz
     rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-37))
     return dx, dy, dz, r2 * rinv, rinv
 
 
-def block_centers(nb: int, parity: str, fine_edge, origin, dtype):
-    """[nb^3, 3] geometric centers of even/odd blocks (fine-cell edge
+def block_centers(nb, parity: str, fine_edge, origin, dtype):
+    """[prod(nb), 3] geometric centers of even/odd blocks (fine-cell edge
     ``fine_edge``; even block w covers fine cells {2w, 2w+1} -> center
-    (2w+1)*Lf; odd block w covers {2w-1, 2w} -> center 2w*Lf)."""
-    c_arr = jnp.arange(nb**3, dtype=jnp.int32)
-    cx = (c_arr // (nb * nb)).astype(dtype)
-    cy = ((c_arr // nb) % nb).astype(dtype)
-    cz = (c_arr % nb).astype(dtype)
+    (2w+1)*Lf; odd block w covers {2w-1, 2w} -> center 2w*Lf). ``nb``:
+    the grid's per-axis dims (pass the ODD grid's own dims for odd)."""
+    nb3 = _nb3(nb)
+    c_arr = jnp.arange(nb3[0] * nb3[1] * nb3[2], dtype=jnp.int32)
+    cx = (c_arr // (nb3[1] * nb3[2])).astype(dtype)
+    cy = ((c_arr // nb3[2]) % nb3[1]).astype(dtype)
+    cz = (c_arr % nb3[2]).astype(dtype)
     xyz = jnp.stack([cx, cy, cz], -1) * 2.0
     if parity == "even":
         xyz = xyz + 1.0
@@ -201,11 +237,15 @@ def block_centers(nb: int, parity: str, fine_edge, origin, dtype):
 
 def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool,
                                sparse: bool = False,
-                               relative: bool = False):
+                               relative: bool = False,
+                               fine_edge=None):
     from gadget_leicester_tpu.ops.sph_kernels import (kernel_dw_dr,
                                                       kernel_w_and_dwdh)
 
-    lf = box / (2 * nb)     # fine-cell edge (relative-mode shift unit)
+    # fine-cell edge (relative-mode shift unit); anisotropic grids pass
+    # it explicitly (uniform across axes by construction)
+    lf = fine_edge if fine_edge is not None else (
+        box / (2 * nb) if isinstance(nb, (int, np.integer)) else None)
 
     def compute(t, ht, s, acc, shift=None):
         rho, drhodh, divv, rx, ry, rz = acc
@@ -319,28 +359,19 @@ def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool,
 
 def _src_index_fn(nb, periodic):
     def src_index(bi, g):
-        bx = bi // (nb * nb)
-        rem = bi % (nb * nb)
-        by, bz = rem // nb, rem % nb
-        gx, gy, gz = g >> 2, (g >> 1) & 1, g & 1
-        if periodic:
-            ox, oy, oz = (bx + gx) % nb, (by + gy) % nb, (bz + gz) % nb
-            nb_o = nb
-        else:
-            ox, oy, oz = bx + gx, by + gy, bz + gz
-            nb_o = nb + 1
-        return ((ox * nb_o + oy) * nb_o + oz, 0, 0)
+        return (_src_block_traced(bi, g, nb, periodic), 0, 0)
     return src_index
 
 
 def density_sums_blocks(cl_e: CellList, soa_e, soa_o, h_slots, box: float,
                         interpret: bool = False, flags=None,
-                        relative: bool = False):
+                        relative: bool = False, fine_edge=None):
     """Density sweep on block tiles. soa_e/soa_o: [B,8,lanes]/[Bo,8,lanes]
     from pack_sph_soa on the even/odd lists; h_slots [B, lanes]. Returns
     [B, 8, lanes] rows (rho, drhodh, divv, rot xyz). ``flags`` [B,1] int32
     gates tiles (DMA path only; None = all on). ``relative``: soas hold
-    block-relative coords (pack_sph_soa centers=...)."""
+    block-relative coords (pack_sph_soa centers=...); anisotropic grids
+    must pass the static ``fine_edge``."""
     b, _, lanes = soa_e.shape
     nb = cl_e.n_cells
     periodic = cl_e.periodic
@@ -361,14 +392,15 @@ def density_sums_blocks(cl_e: CellList, soa_e, soa_o, h_slots, box: float,
         )
         return pl.pallas_call(
             _make_density_block_kernel(float(box), periodic, nb, lanes,
-                                       dma=False, relative=relative),
+                                       dma=False, relative=relative,
+                                       fine_edge=fine_edge),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_e.dtype),
             interpret=True,
         )(flags, soa_e, soa_o, h_slots.reshape(b, 1, lanes))
     return pl.pallas_call(
         _make_density_block_kernel(float(box), periodic, nb, lanes, dma=True,
-                                   relative=relative),
+                                   relative=relative, fine_edge=fine_edge),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
@@ -393,10 +425,13 @@ def density_sums_blocks(cl_e: CellList, soa_e, soa_o, h_slots, box: float,
 
 def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
                              dma: bool, sparse: bool = False,
-                             relative: bool = False):
+                             relative: bool = False,
+                             fine_edge=None):
     from gadget_leicester_tpu.ops.sph_kernels import kernel_dw_dr
 
-    lf = box / (2 * nb)     # fine-cell edge (relative-mode shift unit)
+    # fine-cell edge (relative-mode shift unit); see the density kernel
+    lf = fine_edge if fine_edge is not None else (
+        box / (2 * nb) if isinstance(nb, (int, np.integer)) else None)
 
     def compute(params, ta, tb, s16, acc, shift=None):
         # s16 rows: 0-7 = soa_a (x,y,z,m,vx,vy,vz,h);
@@ -542,7 +577,7 @@ def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
 def hydro_sums_blocks(cl_e: CellList, soa_a, soa_b, src16, box: float,
                       visc_const: float, hubble_a2_flow, fac_mu,
                       interpret: bool = False, flags=None,
-                      relative: bool = False):
+                      relative: bool = False, fine_edge=None):
     """Hydro sweep on block tiles. soa_a/soa_b: even [B,8,lanes];
     src16: odd [Bo,16,lanes] (rows 0-7 = a, 8-12 = b). Output rows:
     ax, ay, az, dt_ent_raw, max_signal_vel. ``flags`` [B,1] gates tiles
@@ -573,7 +608,8 @@ def hydro_sums_blocks(cl_e: CellList, soa_a, soa_b, src16, box: float,
         return pl.pallas_call(
             _make_hydro_block_kernel(float(box), periodic, nb, lanes,
                                      float(visc_const), dma=False,
-                                     relative=relative),
+                                     relative=relative,
+                                     fine_edge=fine_edge),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b, 8, lanes), soa_a.dtype),
             interpret=True,
@@ -581,7 +617,7 @@ def hydro_sums_blocks(cl_e: CellList, soa_a, soa_b, src16, box: float,
     return pl.pallas_call(
         _make_hydro_block_kernel(float(box), periodic, nb, lanes,
                                  float(visc_const), dma=True,
-                                 relative=relative),
+                                 relative=relative, fine_edge=fine_edge),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
@@ -607,11 +643,11 @@ def hydro_sums_blocks(cl_e: CellList, soa_a, soa_b, src16, box: float,
 def density_adaptive_blocks(
     pos, vel, mass, hsml0, gas_mask,
     des_num_ngb: float, max_dev: float,
-    box: float, n_blocks: int, subcap: int = 32,
+    box: float, n_blocks=None, subcap: int = 32,
     min_hsml: float = 0.0, max_hsml=None,
-    periodic: bool = True, max_iters: int = 40,
+    periodic=True, max_iters: int = 40,
     origin=0.0, extent=None, interpret: bool = False,
-    active=None, cls=None,
+    active=None, cls=None, fine_edge=None,
 ):
     """Adaptive-h density on the block kernels (API mirrors
     pallas_cells.density_adaptive_pallas; returns (DensityResult,
@@ -650,16 +686,25 @@ def density_adaptive_blocks(
             flags = None
 
         ones = jnp.ones(ng, pos.dtype)
-        # BLOCK-RELATIVE coords on fully-periodic cubic grids: kernels
+        # BLOCK-RELATIVE coords whenever the fine edge is STATIC: kernels
         # apply constant (1-2g)*Lf stencil shifts instead of per-pair
         # minimum image (exact for in-margin stale assignments — rel
-        # coords are wrap-invariant; see _pair_geom_minimage)
-        rel_on = periodic is True
+        # coords are wrap-invariant; see _pair_geom_minimage). Static-
+        # edge grids: fully-periodic cubic (lf = box/2nb) and anisotropic
+        # grids whose caller passes ``fine_edge`` (the SPMD slab).
+        # Dynamic-extent vacuum grids (extent traced from the particle
+        # cloud) stay in per-pair-minimum-image mode.
+        rel_on = (periodic is True) or (fine_edge is not None)
         if rel_on:
-            nb = cl_e.n_cells
-            lf = box / (2 * nb)
-            ctr_e = block_centers(nb, "even", lf, cl_e.origin, pos.dtype)
-            ctr_o = block_centers(nb, "odd", lf, cl_o.origin, pos.dtype)
+            lf = fine_edge if fine_edge is not None \
+                else box / (2 * cl_e.n_cells)
+            # wrap only matters on periodic axes; rel magnitudes are
+            # bounded by the subcell + staleness drift elsewhere, so a
+            # scalar box min-image is a no-op there
+            ctr_e = block_centers(cl_e.n_cells, "even", lf, cl_e.origin,
+                                  pos.dtype)
+            ctr_o = block_centers(cl_o.n_cells, "odd", lf, cl_o.origin,
+                                  pos.dtype)
             soa_e = pack_sph_soa(cl_e, pos, vel, mass, ones, gas_mask,
                                  centers=ctr_e, wrap=box)
             soa_o = pack_sph_soa(cl_o, pos, vel, mass, ones, gas_mask,
@@ -684,7 +729,7 @@ def density_adaptive_blocks(
         out = density_sums_blocks(cl_e, soa_e, soa_o,
                                   h_slots.reshape(b, lanes), box,
                                   interpret=interpret, flags=fl,
-                                  relative=rel_on)
+                                  relative=rel_on, fine_edge=fine_edge)
         rho = out[:, 0, :].reshape(-1)
         drhodh = out[:, 1, :].reshape(-1)
         divv = out[:, 2, :].reshape(-1)
@@ -725,7 +770,7 @@ def hydro_force_blocks(
     cls, pos, vel, mass, hsml, rho, pressure, dhsml_factor,
     div_vel, curl_vel, gas_mask, visc_const: float, box: float,
     hubble_a2_flow=0.0, hubble_a2_norm=1.0, fac_mu=1.0,
-    interpret: bool = False, active=None,
+    interpret: bool = False, active=None, fine_edge=None,
 ):
     """Entropy-form hydro force on block tiles; cls = (cl_even, cl_odd)
     from density_adaptive_blocks. [G2: hydra.c :: hydro_evaluate()]"""
@@ -766,9 +811,9 @@ def hydro_force_blocks(
         park16 = (jnp.zeros((16,), pos.dtype).at[:3].set(far)
                   .at[7].set(1.0).at[13].set(-1.0))
 
-        # block-relative coords on fully-periodic grids (must match the
-        # density packs — see density_adaptive_blocks)
-        rel_on = cl_e.periodic is True
+        # block-relative coords whenever the fine edge is static (must
+        # match the density packs — see density_adaptive_blocks)
+        rel_on = (cl_e.periodic is True) or (fine_edge is not None)
 
         def pack16(cl, centers=None):
             idx = jnp.maximum(cl.cells, 0)
@@ -783,11 +828,11 @@ def hydro_force_blocks(
             return rows.transpose(0, 2, 1)            # [B, 16, lanes]
 
         if rel_on:
-            nb_h = cl_e.n_cells
-            lf_h = box / (2 * nb_h)
-            rows_e = pack16(cl_e, block_centers(nb_h, "even", lf_h,
+            lf_h = fine_edge if fine_edge is not None \
+                else box / (2 * cl_e.n_cells)
+            rows_e = pack16(cl_e, block_centers(cl_e.n_cells, "even", lf_h,
                                                 cl_e.origin, pos.dtype))
-            src16 = pack16(cl_o, block_centers(nb_h, "odd", lf_h,
+            src16 = pack16(cl_o, block_centers(cl_o.n_cells, "odd", lf_h,
                                                cl_o.origin, pos.dtype))
         else:
             rows_e = pack16(cl_e)
@@ -797,7 +842,8 @@ def hydro_force_blocks(
 
     out = hydro_sums_blocks(cl_e, soa_a, soa_b, src16, box, visc_const,
                             hubble_a2_flow, fac_mu, interpret=interpret,
-                            flags=flags, relative=rel_on)
+                            flags=flags, relative=rel_on,
+                            fine_edge=fine_edge)
     with jax.named_scope("hydro_merge"):
         from gadget_leicester_tpu.ops.neighbors import merge_rows
         res5 = merge_rows(out, cl_e, 5, ng)
@@ -828,7 +874,12 @@ def hydro_force_blocks(
 def count_block_entries(cl_e: CellList, active, lanes_grp: int):
     """Entries the active-entry SPH kernels would need: per even block,
     ceil(n_active/lanes_grp), summed. O(N + B) via the fine cell_of (an
-    upper bound when fine cells overflowed subcap — conservative)."""
+    upper bound when fine cells overflowed subcap — conservative).
+
+    Cubic grids only (the single-chip production path); the anisotropic
+    SPMD slab uses block-level activity flags instead."""
+    assert isinstance(cl_e.n_cells, (int, np.integer)), \
+        "entries tier requires a cubic block grid"
     nb = cl_e.n_cells
     m = 2 * nb
     cid = cl_e.cell_of

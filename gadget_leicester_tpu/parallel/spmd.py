@@ -404,6 +404,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         edges = np.linspace(0.0, box, d + 1)
     edges = np.asarray(edges, np.float64)
     w_min = float(np.min(np.diff(edges)))
+    w_max = float(np.max(np.diff(edges)))
     edges_j = jnp.asarray(edges, jnp.float32)
     g_pm = opts.pmgrid
     asmth_len = ASMTH * box / g_pm
@@ -494,6 +495,14 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
             rel = _dompos(p.pos)
             lost = lost | (p.alive & jnp.any((rel < 0.0) | (rel >= box),
                                              axis=1))
+        lost_flag = st.overflow_flags | jnp.where(
+            jnp.any(lost), jnp.int32(4), jnp.int32(0))
+        if d == 1:
+            # one slab: slab_of is clipped to 0 == me, so nothing ever
+            # hops (go_l/go_r are constant-False); only the lost check
+            # above has content (vacuum escapees)
+            return dataclasses.replace(st, overflow_flags=lost_flag)
+
         gfields = [getattr(st.gas, f.name)
                    for f in dataclasses.fields(st.gas)]
 
@@ -517,18 +526,34 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
             ovf = o1 | o2 | o3 | (c_l > mcap) | (c_r > mcap)
             return outs, alive_new, ovf
 
-        outs_g, alive_g, ovf_g = move_block(0, cap_g, True)
-        outs_r, alive_r, ovf_r = move_block(cap_g, p.n_max, False)
+        def do_moves(_):
+            outs_g, alive_g, ovf_g = move_block(0, cap_g, True)
+            outs_r, alive_r, ovf_r = move_block(cap_g, p.n_max, False)
+            p_new = ParticleState(
+                **{f: jnp.concatenate([outs_g[i], outs_r[i]])
+                   for i, f in enumerate(_P_FIELDS)},
+                alive=jnp.concatenate([alive_g, alive_r]))
+            gas_new = GasState(**{
+                f.name: outs_g[len(_P_FIELDS) + i]
+                for i, f in enumerate(dataclasses.fields(st.gas))})
+            return p_new, gas_new, ovf_g | ovf_r
 
-        p_new = ParticleState(
-            **{f: jnp.concatenate([outs_g[i], outs_r[i]])
-               for i, f in enumerate(_P_FIELDS)},
-            alive=jnp.concatenate([alive_g, alive_r]))
-        gas_new = GasState(**{
-            f.name: outs_g[len(_P_FIELDS) + i]
-            for i, f in enumerate(dataclasses.fields(st.gas))})
-        flags = st.overflow_flags | jnp.where(
-            ovf_g | ovf_r | jnp.any(lost), jnp.int32(4), jnp.int32(0))
+        def no_moves(_):
+            return p, st.gas, jnp.asarray(False)
+
+        # most sync points move NOBODY (a slab width is many step
+        # displacements), yet the pack/ring/scatter machinery touches
+        # every field of every particle — 362 ms of the 1086 ms mesh=1
+        # step at 64^3 (tools/anatomy_spmd.py). Gate it on a GLOBAL
+        # any-hop predicate: psum makes the lax.cond branch uniform
+        # across shards, so the ppermutes inside stay in lockstep
+        # [G2: domain.c re-decomposes on a cadence, not every step —
+        # the common case does no particle exchange at all]
+        n_move = jax.lax.psum(
+            jnp.sum((go_l | go_r).astype(jnp.int32)), AXIS)
+        p_new, gas_new, ovf = jax.lax.cond(
+            n_move > 0, do_moves, no_moves, operand=None)
+        flags = lost_flag | jnp.where(ovf, jnp.int32(4), jnp.int32(0))
         return dataclasses.replace(st, p=p_new, gas=gas_new,
                                    overflow_flags=flags)
 
@@ -545,16 +570,26 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         eps = softening_table(cfg, fac.atime)
         soft = SOFTFAC * eps[p.ptype]
 
+        # the PM potential column (one extra inverse FFT + a 4th gather
+        # component) is computed only for its in-step consumers — sinks
+        # and Stamatellos cooling; diagnostics recompute on demand from
+        # the canonical state [G2: potential.c runs on its own cadence]
+        want_pot_pm = opts.sinks or opts.cooling == "stamatellos"
+
         def compute_pm(_):
             if per:
-                a, pt = pm_local_forces(p.pos, p.mass, p.alive, box, g_pm,
-                                        d, with_potential=True)
+                res = pm_local_forces(p.pos, p.mass, p.alive, box, g_pm,
+                                      d, with_potential=want_pot_pm)
             else:
                 from gadget_leicester_tpu.parallel.pm_sharded import \
                     pm_local_forces_vacuum
-                a, pt = pm_local_forces_vacuum(
+                res = pm_local_forces_vacuum(
                     p.pos, p.mass, p.alive, dom0_j, box, g_pm,
-                    with_potential=True)
+                    with_potential=want_pot_pm)
+            if want_pot_pm:
+                a, pt = res
+            else:
+                a, pt = res, jnp.zeros((p.n_max,), p.mass.dtype)
             return a * cfg.grav_internal, pt
 
         with jax.named_scope("spmd_pm"):
@@ -682,11 +717,165 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                                 pot_pm=pot_pm_g, old_acc=old_acc)
         return dataclasses.replace(st, p=p, overflow_flags=flags), active
 
+    def _sph_blocks(st, me, x0, x1, xc, active):
+        """SPH on the BLOCK-packed kernels (the single-chip production
+        path, ops/sph_blocks) over an anisotropic slab grid: non-periodic
+        extended x covering [x0-Lf, x1+Lf], periodic y/z over the box
+        (vacuum: all clamped), uniform fine edge. Replaces the coarse
+        cell kernels on TPU — at 64^3 mesh=1 the cell SPH phase cost
+        371 ms vs the single-chip blocks path's 65 ms
+        [G2: density.c/hydra.c run the same loops on every MPI rank]."""
+        from gadget_leicester_tpu.models.grids import (KAPPA_SPH,
+                                                       sph_blocks_geometry)
+        from gadget_leicester_tpu.ops.sph_blocks import (
+            build_block_lists, density_adaptive_blocks, hydro_force_blocks)
+
+        gas = st.gas
+        p = st.p
+        ng = gas.n_gas_max
+        fac = comoving_factors(cfg, st.ti_current)
+        gas_mask = p.alive[:ng] & (p.ptype[:ng] == 0)
+        active_g = active[:ng] & gas_mask
+        eps_gas = softening_table(cfg, fac.atime)[0]
+        min_hsml = cfg.min_gas_hsml_fractional * SOFTFAC * eps_gas
+
+        # global-count geometry: the SAME fine edge (and h cap) at every
+        # shard count, matching the single-chip blocks path (slot counts
+        # carry the to_spmd fill padding — scale by SLAB_FILL)
+        n_glob = max(1, int(SLAB_FILL * ng * d))
+        nb_g, subcap = sph_blocks_geometry(cfg, opts, n_glob)
+        # ghost strips come from ADJACENT shards only: fine edge <= w_min
+        nb_g = max(nb_g, int(np.ceil(1.02 * box / (2.0 * w_min))))
+        subcell = box / (2 * nb_g)
+        max_hsml = (1.0 - 2.0 * KAPPA_SPH) * subcell
+        reach = subcell
+        # static x block count covers the WIDEST slab; narrower slabs
+        # carry empty trailing blocks (skipped by the activity flags)
+        nbx = max(1, int(np.ceil((w_max + 2.05 * reach)
+                                 / (2.0 * subcell))))
+        nb3 = (nbx, nb_g, nb_g)
+        per3 = (False, pyz, pyz)
+        extent3 = np.asarray([2.0 * nbx * subcell, box, box], np.float64)
+
+        lpos = _dompos(p.pos[:ng])
+        if per:
+            lpos = lpos.at[:, 0].set(
+                _wrap_to_slab(jnp.mod(p.pos[:ng, 0], box), xc, box))
+        gcap = _ghost_cap(ng, reach, w_min, opts.spmd_ghost_frac)
+        h0 = jnp.minimum(gas.hsml, max_hsml)
+
+        # ---- round 1: kinematic ghosts for the density solve ---------
+        with jax.named_scope("spmd_ghosts_sph1"):
+            ghosts, gvalid, ovf1 = _ghost_exchange(
+                [p.pos[:ng], gas.vel_pred, p.mass[:ng],
+                 gas_mask.astype(jnp.int32)],
+                _wx(p.pos[:ng, 0]), gas_mask, x0, x1, reach, gcap, d)
+        gpos, gvel, gmass, gmask_i = ghosts
+        gpos = _dompos(gpos)
+        gx_f, gvalid = _fix_ghost_x(gpos[:, 0], x0, x1, reach,
+                                    gvalid, gcap)
+        gpos = gpos.at[:, 0].set(gx_f)
+        gv = gvalid & (gmask_i > 0)
+        cat_pos = jnp.concatenate([lpos, gpos])
+        cat_vel = jnp.concatenate([gas.vel_pred, gvel])
+        cat_mass = jnp.concatenate([p.mass[:ng], gmass])
+        cat_mask = jnp.concatenate([gas_mask, gv])
+        # ghosts are SOURCES only: the activity mask (target gate) ends
+        # at the local block
+        act_cat = jnp.concatenate(
+            [active_g, jnp.zeros((2 * gcap,), bool)])
+        h_cat = jnp.concatenate(
+            [h0, jnp.full((2 * gcap,), 1.0, h0.dtype)])
+
+        origin3 = jnp.stack([x0 - reach, jnp.float32(0.0),
+                             jnp.float32(0.0)]).astype(lpos.dtype)
+        with jax.named_scope("spmd_sph_build"):
+            cls = build_block_lists(cat_pos, cat_mask, origin3,
+                                    jnp.asarray(extent3, lpos.dtype),
+                                    n_blocks=nb3, subcap=subcap,
+                                    periodic=per3)
+        with jax.named_scope("spmd_sph_density"):
+            dres, _ = density_adaptive_blocks(
+                cat_pos, cat_vel, cat_mass, h_cat, cat_mask,
+                des_num_ngb=cfg.des_num_ngb,
+                max_dev=cfg.max_num_ngb_deviation,
+                box=box, subcap=subcap, min_hsml=min_hsml,
+                max_hsml=max_hsml, periodic=per3,
+                interpret=pallas_interp, active=act_cat, cls=cls,
+                fine_edge=subcell)
+
+        rho = jnp.where(active_g, dres.rho[:ng], gas.density)
+        hsml = jnp.where(active_g, dres.hsml[:ng], gas.hsml)
+        dhf = jnp.where(active_g, dres.dhsml_factor[:ng],
+                        gas.dhsml_density_factor)
+        divv = jnp.where(active_g, dres.div_vel[:ng], gas.div_vel)
+        curlv = jnp.where(active_g, dres.curl_vel[:ng], gas.curl_vel)
+        nngb = jnp.where(active_g, dres.num_ngb_eff[:ng], gas.num_ngb)
+
+        if opts.isotherm_eqs:
+            pressure = gas.entropy_pred * rho
+        else:
+            pressure = gas.entropy_pred * rho**GAMMA
+        pressure = jnp.where(gas_mask, pressure, 0.0)
+
+        # ---- round 2: hydro ghosts (post-density fields) --------------
+        with jax.named_scope("spmd_ghosts_sph2"):
+            ghosts2, gvalid2, ovf2 = _ghost_exchange(
+                [p.pos[:ng], gas.vel_pred, p.mass[:ng], hsml, rho,
+                 pressure, dhf, divv, curlv,
+                 gas_mask.astype(jnp.int32)],
+                _wx(p.pos[:ng, 0]), gas_mask, x0, x1, reach, gcap, d)
+        (g2pos, g2vel, g2mass, g2h, g2rho, g2prs, g2dhf, g2div, g2curl,
+         g2mask_i) = ghosts2
+        g2pos = _dompos(g2pos)
+        g2x_f, gvalid2 = _fix_ghost_x(g2pos[:, 0], x0, x1, reach,
+                                      gvalid2, gcap)
+        gv2 = gvalid2 & (g2mask_i > 0)
+        # the hydro pass reuses the density block lists: round 2's
+        # positions and mask are IDENTICAL to round 1's (same locals,
+        # same deterministic strip packing — only field VALUES changed)
+        with jax.named_scope("spmd_sph_hydro"):
+            hres = hydro_force_blocks(
+                cls, cat_pos, cat_vel, cat_mass,
+                jnp.concatenate([hsml, g2h]),
+                jnp.concatenate([rho, g2rho]),
+                jnp.concatenate([pressure, g2prs]),
+                jnp.concatenate([dhf, g2dhf]),
+                jnp.concatenate([divv, g2div]),
+                jnp.concatenate([curlv, g2curl]),
+                jnp.concatenate([gas_mask, gv2]),
+                visc_const=cfg.art_bulk_visc_const, box=box,
+                hubble_a2_flow=fac.hubble_a2_flow,
+                hubble_a2_norm=fac.hubble_a2_norm, fac_mu=fac.fac_mu,
+                interpret=pallas_interp, active=act_cat,
+                fine_edge=subcell)
+
+        hydro_acc = jnp.where(active_g[:, None], hres.acc[:ng],
+                              gas.hydro_acc)
+        dt_entropy = jnp.where(active_g, hres.dt_entropy[:ng],
+                               gas.dt_entropy)
+        if opts.isotherm_eqs:
+            dt_entropy = jnp.zeros_like(dt_entropy)
+        msv = jnp.where(active_g, hres.max_signal_vel[:ng],
+                        gas.max_signal_vel)
+
+        flags = st.overflow_flags | jnp.where(
+            cls[0].overflow | ovf1 | ovf2, jnp.int32(2), jnp.int32(0))
+        gas = dataclasses.replace(
+            gas, density=rho, hsml=hsml, pressure=pressure, div_vel=divv,
+            curl_vel=curlv, dhsml_density_factor=dhf, num_ngb=nngb,
+            hydro_acc=hydro_acc, dt_entropy=dt_entropy,
+            max_signal_vel=msv)
+        return dataclasses.replace(st, gas=gas, overflow_flags=flags)
+
     def _sph(st, me, x0, x1, xc, active):
         from gadget_leicester_tpu.core.config import GAMMA_MINUS1  # noqa
         from gadget_leicester_tpu.ops.neighbors import build_cell_list
         from gadget_leicester_tpu.ops.sph_cells import (
             density_adaptive_cells, hydro_force_cells)
+
+        if use_pallas:
+            return _sph_blocks(st, me, x0, x1, xc, active)
 
         gas = st.gas
         p = st.p
