@@ -97,11 +97,17 @@ def build_block_lists(pos, mask, origin, extent, n_blocks,
 
     def pack(c, dims):
         """c: [N,3] fine coords (possibly shifted); returns flat block id
-        and lane for each sorted particle."""
+        and lane for each sorted particle.
+
+        Subcell lane order is Z-SLOWEST (sub = sz*4 + sy*2 + sx): the two
+        z-halves of a tile are then CONTIGUOUS 128-aligned lane slices
+        (subcap 32), which lets the kernels pair each target z-half
+        against only the 3 source z-planes it can reach (z-split, a 4/3
+        pair-volume cut — see _make_density_block_kernel)."""
         b = c >> 1
         s = c & 1
         bid = (b[:, 0] * dims[1] + b[:, 1]) * dims[2] + b[:, 2]
-        sub = (s[:, 0] * 2 + s[:, 1]) * 2 + s[:, 2]
+        sub = (s[:, 2] * 2 + s[:, 1]) * 2 + s[:, 0]
         return bid, sub * subcap + rank
 
     lanes = 8 * subcap
@@ -267,6 +273,16 @@ def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool,
                 rz + jnp.sum(fac * (dvx * dy - dvy * dx), axis=1))
 
     if dma:
+        # z-split (lane order is z-slowest, see build_block_lists.pack):
+        # target z-halves only reach 3 of the 4 source z-planes — the low
+        # half (fine z = 2b) never pairs with fine z = 2b+2 (odd block
+        # b+1's high half) and vice versa, exact under the same
+        # max_hsml = (1 - 2*kappa)*Lf + margin contract that sizes the
+        # one-fine-cell reach of the x/y legs. 4/3 fewer pair lanes.
+        # Requires 128-aligned halves (subcap multiple of 32).
+        zsplit = lanes % 256 == 0
+        half = lanes // 2
+
         def run_tile(tgt_ref, h_ref, src_hbm, out_ref, buf, sems, b):
             t = tgt_ref[0]
             ht = h_ref[0, 0, :][:, None]
@@ -290,22 +306,37 @@ def _make_density_block_kernel(box, periodic, nb, lanes, dma: bool,
                 if relative:
                     shx = (1 - 2 * (g4 >> 1)).astype(jnp.float32) * lf
                     shy = (1 - 2 * (g4 & 1)).astype(jnp.float32) * lf
-                    acc = compute(t, ht, buf[slot, 0], acc,
-                                  shift=(shx, shy, lf))
-                    return compute(t, ht, buf[slot, 1], acc,
-                                   shift=(shx, shy, -lf))
-                acc = compute(t, ht, buf[slot, 0], acc)
-                return compute(t, ht, buf[slot, 1], acc)
+                    sh0, sh1 = (shx, shy, lf), (shx, shy, -lf)
+                else:
+                    sh0 = sh1 = None
+                s0, s1 = buf[slot, 0], buf[slot, 1]
+                if not zsplit:
+                    acc = compute(t, ht, s0, acc, shift=sh0)
+                    return compute(t, ht, s1, acc, shift=sh1)
+                lo, hi = acc[:6], acc[6:]
+                t_lo, t_hi = t[:, :half], t[:, half:]
+                lo = compute(t_lo, ht[:half], s0, lo, shift=sh0)
+                lo = compute(t_lo, ht[:half], s1[:, :half], lo, shift=sh1)
+                hi = compute(t_hi, ht[half:], s0[:, half:], hi, shift=sh0)
+                hi = compute(t_hi, ht[half:], s1, hi, shift=sh1)
+                return lo + hi
 
-            z = jnp.zeros((lanes,), jnp.float32)
-            rho, drhodh, divv, rx, ry, rz = jax.lax.fori_loop(
-                0, 4, body, (z, z, z, z, z, z))
-            out_ref[0, 0, :] = rho
-            out_ref[0, 1, :] = drhodh
-            out_ref[0, 2, :] = divv
-            out_ref[0, 3, :] = rx
-            out_ref[0, 4, :] = ry
-            out_ref[0, 5, :] = rz
+            if zsplit:
+                z = jnp.zeros((half,), jnp.float32)
+                acc = jax.lax.fori_loop(0, 4, body, (z,) * 12)
+                for r in range(6):
+                    out_ref[0, r, :half] = acc[r]
+                    out_ref[0, r, half:] = acc[6 + r]
+            else:
+                z = jnp.zeros((lanes,), jnp.float32)
+                rho, drhodh, divv, rx, ry, rz = jax.lax.fori_loop(
+                    0, 4, body, (z, z, z, z, z, z))
+                out_ref[0, 0, :] = rho
+                out_ref[0, 1, :] = drhodh
+                out_ref[0, 2, :] = divv
+                out_ref[0, 3, :] = rx
+                out_ref[0, 4, :] = ry
+                out_ref[0, 5, :] = rz
 
         def kernel(flag_ref, tgt_ref, h_ref, src_hbm, out_ref, buf, sems):
             # activity gate: no active gas target in this block -> skip.
@@ -489,6 +520,10 @@ def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
                 jnp.maximum(msv_a, msv))
 
     if dma:
+        # z-split — see _make_density_block_kernel (same contract)
+        zsplit = lanes % 256 == 0
+        half = lanes // 2
+
         def run_tile(params_ref, tgt_a, tgt_b, src_hbm, out_ref, buf, sems,
                      b):
             params = (params_ref[0, 0], params_ref[0, 1])
@@ -513,21 +548,39 @@ def _make_hydro_block_kernel(box, periodic, nb, lanes, visc_const,
                 if relative:
                     shx = (1 - 2 * (g4 >> 1)).astype(jnp.float32) * lf
                     shy = (1 - 2 * (g4 & 1)).astype(jnp.float32) * lf
-                    acc = compute(params, ta, tb, buf[slot, 0], acc,
-                                  shift=(shx, shy, lf))
-                    return compute(params, ta, tb, buf[slot, 1], acc,
-                                   shift=(shx, shy, -lf))
-                acc = compute(params, ta, tb, buf[slot, 0], acc)
-                return compute(params, ta, tb, buf[slot, 1], acc)
+                    sh0, sh1 = (shx, shy, lf), (shx, shy, -lf)
+                else:
+                    sh0 = sh1 = None
+                s0, s1 = buf[slot, 0], buf[slot, 1]
+                if not zsplit:
+                    acc = compute(params, ta, tb, s0, acc, shift=sh0)
+                    return compute(params, ta, tb, s1, acc, shift=sh1)
+                lo, hi = acc[:5], acc[5:]
+                ta_lo, ta_hi = ta[:, :half], ta[:, half:]
+                tb_lo, tb_hi = tb[:, :half], tb[:, half:]
+                lo = compute(params, ta_lo, tb_lo, s0, lo, shift=sh0)
+                lo = compute(params, ta_lo, tb_lo, s1[:, :half], lo,
+                             shift=sh1)
+                hi = compute(params, ta_hi, tb_hi, s0[:, half:], hi,
+                             shift=sh0)
+                hi = compute(params, ta_hi, tb_hi, s1, hi, shift=sh1)
+                return lo + hi
 
-            z = jnp.zeros((lanes,), jnp.float32)
-            ax, ay, az, dte, msv = jax.lax.fori_loop(
-                0, 4, body, (z, z, z, z, z))
-            out_ref[0, 0, :] = ax
-            out_ref[0, 1, :] = ay
-            out_ref[0, 2, :] = az
-            out_ref[0, 3, :] = dte
-            out_ref[0, 4, :] = msv
+            if zsplit:
+                z = jnp.zeros((half,), jnp.float32)
+                acc = jax.lax.fori_loop(0, 4, body, (z,) * 10)
+                for r in range(5):
+                    out_ref[0, r, :half] = acc[r]
+                    out_ref[0, r, half:] = acc[5 + r]
+            else:
+                z = jnp.zeros((lanes,), jnp.float32)
+                ax, ay, az, dte, msv = jax.lax.fori_loop(
+                    0, 4, body, (z, z, z, z, z))
+                out_ref[0, 0, :] = ax
+                out_ref[0, 1, :] = ay
+                out_ref[0, 2, :] = az
+                out_ref[0, 3, :] = dte
+                out_ref[0, 4, :] = msv
 
         def kernel(flag_ref, params_ref, tgt_a, tgt_b, src_hbm, out_ref,
                    buf, sems):
