@@ -410,6 +410,13 @@ class Simulation:
                             extent=None if domain is None else domain[1])
         st, caps, edges = to_spmd(self.state, self.mesh, self.cfg,
                                   min_width=mw, domain=domain)
+        # per-shard grid cache: cell lists + ghost-row selections persist
+        # across sync points (the [G2: domain.c/forcetree.c] rebuild
+        # cadence, SPMD edition — see parallel.spmd.make_spmd_grid_cache)
+        from gadget_leicester_tpu.parallel.spmd import make_spmd_grid_cache
+        st = dataclasses.replace(st, grids=make_spmd_grid_cache(
+            self.cfg, self.opts, self.mesh, caps, edges, domain=domain,
+            with_sph=st.gas.n_gas_max > 1))
         specs = state_specs(st)
         st = jax.tree_util.tree_map(
             lambda x, sp: jax.device_put(x, NamedSharding(self.mesh, sp)),

@@ -108,85 +108,83 @@ def _align_up(v: int, a: int) -> int:
     return ((v + a - 1) // a) * a
 
 
-def _make_gather_kernel(n_pm: int, w: int, wy: int, wzk: int, p0: int,
-                        k_comp: int, cap: int, scale: float, n_cells: int,
-                        edge_pm: float, margin_pm: float):
-    """Per-cell kernel: aligned-window DMA + separable one-hot
-    contractions. Window bases are RAW (possibly negative) and computed
-    IN-KERNEL from the grid step's cell id (a scalar-prefetch bases
-    table would be SMEM-resident padded to 128 lanes — 20 MB at the
-    128^3 config vs the 1 MB SMEM); the DMA offsets by the static pad
-    ``p0`` and aligns down to the (8, 128) tile grid; the one-hots carry
-    the remainders."""
+def _make_gather_col_kernel(n_pm: int, w: int, wy: int, nzk: int, p0: int,
+                            k_comp: int, cap: int, scale: float,
+                            n_cells: int, edge_pm: float, margin_pm: float,
+                            zsl: int):
+    """COLUMN gather kernel: grid = (n_cells^2,), one full-z window DMA
+    per (cx, cy) column (vs one per CELL in the first-cut gather kernel,
+    whose 39k small DMAs measured 285 ms at the 128^3 config against the
+    row-gather's 194 — the deposit's column windows run 132). The inner
+    fori walks the column's z-cells; each cell's z-reach is a 128-aligned
+    ``zsl``-lane dynamic slice of the resident window, so the xy one-hot
+    contraction shrinks from the full z row to [w*wy, zsl]."""
 
     def base_of(cc):
-        # cc may be a Python int (static grid-step 0) or a traced scalar
         cc = jnp.asarray(cc, jnp.float32)
         return jnp.floor(cc * edge_pm - margin_pm).astype(jnp.int32)
-
-    def cells3(c):
-        cx = c // (n_cells * n_cells)
-        cy = (c // n_cells) % n_cells
-        cz = c % n_cells
-        return cx, cy, cz
-
-    def bases3(c):
-        cx, cy, cz = cells3(c)
-        return base_of(cx), base_of(cy), base_of(cz)
 
     def center_pm(cc):
         return (jnp.asarray(cc, jnp.float32) + 0.5) * edge_pm
 
     def kernel(tgt_ref, fp_hbm, out_ref, buf, sems):
-        i = pl.program_id(0)
-        k_max = pl.num_programs(0)
+        j = pl.program_id(0)
+        n_cols = pl.num_programs(0)
 
-        def dma(c, slot):
-            bxr, byr, bzr = bases3(c)
-            bx = bxr + p0
-            by_al = ((byr + p0) // 8) * 8
-            bz_al = (((bzr + p0) * k_comp) // 128) * 128
+        def dma(col, slot):
+            bx = base_of(col // n_cells) + p0
+            by_al = ((base_of(col % n_cells) + p0) // 8) * 8
             return pltpu.make_async_copy(
-                fp_hbm.at[pl.ds(bx, w), pl.ds(by_al, wy),
-                          pl.ds(bz_al, wzk)],
+                fp_hbm.at[pl.ds(bx, w), pl.ds(by_al, wy), :],
                 buf.at[slot], sems.at[slot])
 
-        @pl.when(i == 0)
+        @pl.when(j == 0)
         def _():
             dma(0, 0).start()
 
-        @pl.when(i + 1 < k_max)
+        @pl.when(j + 1 < n_cols)
         def _():
-            dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+            dma(j + 1, jax.lax.rem(j + 1, 2)).start()
 
-        slot = jax.lax.rem(i, 2)
-        dma(i, slot).wait()
-        # collapse LEADING dims only (lane dim preserved — Mosaic forbids
-        # lane-splitting vector reshapes)
-        fb = jnp.reshape(buf[slot], (w * wy, wzk))
+        slot = jax.lax.rem(j, 2)
+        dma(j, slot).wait()
 
-        t = tgt_ref[0]                       # [8, cap]
-        cx_i, cy_i, cz_i = cells3(i)
-        bx_i, by_i, bz_i = bases3(i)
+        cx_i, cy_i = j // n_cells, j % n_cells
+        bx_i, by_i = base_of(cx_i), base_of(cy_i)
         delta_y = jax.lax.rem(by_i + p0, 8)
-        delta_z = jax.lax.rem((bz_i + p0) * k_comp, 128)
-        axy, iz, fz = _cic_xy_factors(
-            t, bx_i, by_i, delta_y, n_pm, w, wy, cap, scale, fb.dtype,
-            off_pm=(center_pm(cx_i), center_pm(cy_i), center_pm(cz_i)))
-        lz = jax.lax.rem(iz.astype(jnp.int32) - bz_i
-                         + (2 * n_pm), n_pm)
-        lz = jnp.minimum(lz, w - 2)
-        c_zk = jnp.dot(axy, fb, preferred_element_type=fb.dtype)
-        # z contraction: res[p,k] = (1-fz) C[p, lz*K+k+dz] + fz C[..+K]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (cap, wzk), 1)
-        base_lane = lz * k_comp + delta_z
+        offx, offy = center_pm(cx_i), center_pm(cy_i)
+
+        def cell(kz, _):
+            t = tgt_ref[kz]                      # [8, cap]
+            bz_i = base_of(kz)
+            axy, iz, fz = _cic_xy_factors(
+                t, bx_i, by_i, delta_y, n_pm, w, wy, cap, scale,
+                out_ref.dtype, off_pm=(offx, offy, center_pm(kz)))
+            lz = jax.lax.rem(iz.astype(jnp.int32) - bz_i + (2 * n_pm),
+                             n_pm)
+            lz = jnp.minimum(lz, w - 2)
+            zoff = (((bz_i + p0) * k_comp) // 128) * 128
+            delta_z = (bz_i + p0) * k_comp - zoff
+            # ref-level dynamic lane slice (128-aligned by construction)
+            fbs = jnp.reshape(buf[slot, :, :, pl.ds(zoff, zsl)],
+                              (w * wy, zsl))
+            # HIGHEST: the MXU's default f32 path rounds through bf16
+            # (measured 4e-3 rel error vs the row gather); bf16x3 passes
+            # restore f32-grade products at 3x MXU cost — still cheap
+            c_zk = jnp.dot(axy, fbs, preferred_element_type=fbs.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (cap, zsl), 1)
+            base_lane = lz * k_comp + delta_z
+            for k in range(k_comp):
+                m0 = jnp.where(iota == (base_lane + k)[:, None],
+                               (1.0 - fz)[:, None], 0.0)
+                m1 = jnp.where(iota == (base_lane + k_comp + k)[:, None],
+                               fz[:, None], 0.0)
+                out_ref[kz, k, :] = jnp.sum((m0 + m1) * c_zk, axis=1)
+            return 0
+
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-        for k in range(k_comp):
-            m0 = jnp.where(iota == (base_lane + k)[:, None],
-                           (1.0 - fz)[:, None], 0.0)
-            m1 = jnp.where(iota == (base_lane + k_comp + k)[:, None],
-                           fz[:, None], 0.0)
-            out_ref[0, k, :] = jnp.sum((m0 + m1) * c_zk, axis=1)
+        jax.lax.fori_loop(0, n_cells, cell, 0)
 
     return kernel
 
@@ -210,44 +208,47 @@ def pm_gather_tiles(field, cl: CellList, pos, alive, box: float, n_pm: int,
     w, p0 = _window_geometry(n, n_cells, margin_pm)
     edge_pm = n / n_cells
     wy = _align_up(w + 7, 8)
-    wzk = _align_up(w * k_comp + 127, 128)
+    # per-cell z-reach slice width: alignment remainder (< 128) + the
+    # window's own z*K extent, rounded up to whole lane tiles
+    zsl = _align_up(128 + w * k_comp, 128)
 
-    # wrap-padded field, z*K packed contiguously; extra zero padding on
-    # the high sides so aligned-down windows always fit (the alignment
-    # slack lanes are read but never selected by the one-hots)
+    # wrap-padded field, z*K packed contiguously; high-side padding so
+    # every aligned-down [zoff, zoff+zsl) cell slice stays in range
     fp = jnp.concatenate([field[-p0:], field, field[:w]], axis=0)
     fp = jnp.concatenate([fp[:, -p0:], fp, fp[:, :w]], axis=1)
     fp = jnp.concatenate([fp[:, :, -p0:], fp, fp[:, :, :w]], axis=2)
     n2 = n + p0 + w
     fp = fp.reshape(n2, n2, n2 * k_comp)
     ny = _align_up(n2 + (wy - w), 8)
-    nzk = _align_up(n2 * k_comp + (wzk - w * k_comp), 128)
+    max_zoff = (((n - 1 + p0) * k_comp) // 128) * 128
+    nzk = max(_align_up(n2 * k_comp, 128), max_zoff + zsl)
     fp = jnp.pad(fp, ((0, 0), (0, ny - n2), (0, nzk - n2 * k_comp)))
-
-    c3 = n_cells ** 3
 
     soa = pack_cells_soa(cl, pos, jnp.ones_like(pos[:, 0]),
                          jnp.ones_like(pos[:, 0]), alive, relative=True)
     cap = soa.shape[-1]
 
     out = pl.pallas_call(
-        _make_gather_kernel(n, w, wy, wzk, p0, k_comp, cap,
-                            float(n / box), n_cells, float(edge_pm),
-                            float(margin_pm)),
+        _make_gather_col_kernel(n, w, wy, nzk, p0, k_comp, cap,
+                                float(n / box), n_cells, float(edge_pm),
+                                float(margin_pm), zsl),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(c3,),
+            grid=(n_cells * n_cells,),
             in_specs=[
-                pl.BlockSpec((1, 8, cap), lambda ci: (ci, 0, 0)),
+                pl.BlockSpec((n_cells, 8, cap), lambda ci: (ci, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 8, cap), lambda ci: (ci, 0, 0)),
+            out_specs=pl.BlockSpec((n_cells, 8, cap),
+                                   lambda ci: (ci, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, w, wy, wzk), field.dtype),
+                pltpu.VMEM((2, w, wy, nzk), field.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((c3, 8, cap), field.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_cells ** 3, 8, cap), field.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(soa, fp)
 
@@ -381,10 +382,14 @@ def _make_deposit_kernel(n_pm: int, w: int, wy: int, zdim: int, p0: int,
         cz = (jnp.where(iota == lz[:, None], (m * (1.0 - fz))[:, None], 0.0)
               + jnp.where(iota == (lz + 1)[:, None], (m * fz)[:, None],
                           0.0))
-        # contract over particles: dep[xy, z] = sum_p axy[p,xy] cz[p,z]
+        # contract over particles: dep[xy, z] = sum_p axy[p,xy] cz[p,z].
+        # HIGHEST precision: the default MXU f32 path rounds the one-hot
+        # products through bf16 (4e-3 rel deposit noise — measured on the
+        # gather twin); bf16x3 restores f32-grade sums
         dep = jax.lax.dot_general(
             axy, cz, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=buf.dtype)    # [w*wy, zdim]
+            preferred_element_type=buf.dtype,
+            precision=jax.lax.Precision.HIGHEST)  # [w*wy, zdim]
         buf[slot] = buf[slot] + jnp.reshape(dep, (w, wy, zdim))
 
         @pl.when(kz == n_c - 1)

@@ -256,10 +256,158 @@ def state_specs(state: SimState):
         else P(AXIS)
         for f in dataclasses.fields(GasState)})
     rep = jax.tree_util.tree_map(lambda _: P(), state.sinks)
+    # grid-cache leaves all carry a leading shard dim (make_spmd_grid_cache)
+    grids_spec = jax.tree_util.tree_map(lambda _: P(AXIS), state.grids)
     return dataclasses.replace(
-        state, p=psh, gas=gsh, sinks=rep,
+        state, p=psh, gas=gsh, sinks=rep, grids=grids_spec,
         ti_current=P(), pm_ti_endstep=P(), pm_ti_begstep=P(),
         rng_key=P(), overflow_flags=P())
+
+
+# ---------------------------------------------------------------------------
+# Static slab-grid geometry + the per-shard grid cache
+# ---------------------------------------------------------------------------
+def _occ_grid_static(n_cat, span_x, reach, cap, nyz0, box):
+    """See make_spmd_step._occ_grid (module-level so the cache allocator
+    derives identical shapes)."""
+    def _nx(nyz):
+        return max(1, int(span_x / (box / nyz)))
+    nyz_e = nyz0
+    while (nyz_e > 4
+           and n_cat / (_nx(nyz_e - 1) * (nyz_e - 1) ** 2) <= 0.8 * cap):
+        nyz_e -= 1
+    return _nx(nyz_e), nyz_e
+
+
+def _occ_cap_static(n_cat, n_cells_est, base):
+    """See make_spmd_step._occ_cap."""
+    if base > 0:
+        return max(128, ((base + 127) // 128) * 128)
+    est = n_cat / max(1, n_cells_est)
+    return max(128, min(512, (-(-int(est / 0.8) // 128)) * 128))
+
+
+def slab_grid_geom(cfg: SimConfig, opts: SimOptions, d: int, box: float,
+                   w_min: float, w_max: float, use_pallas: bool,
+                   n_loc: int, ng_loc: int) -> dict:
+    """ALL static geometry of the per-shard slab grids, shared by the
+    step factory and the cache allocator (shapes must match exactly —
+    lax.cond pytrees). Returns a dict; see make_spmd_step for the
+    meaning of each number [G2: domain.c + forcetree.c rebuild cadence
+    — the cache IS the rebuild cadence]."""
+    from gadget_leicester_tpu.models.grids import (KAPPA_SPH,
+                                                   SOFT_RCUT_FRAC,
+                                                   sph_blocks_geometry)
+    from gadget_leicester_tpu.ops.pm import ASMTH, RCUT
+
+    g_pm = opts.pmgrid
+    asmth_len = ASMTH * box / g_pm
+    rcut = RCUT * asmth_len
+    nyz = max(3, int(box / rcut))
+    out = dict(rcut=rcut, nyz=nyz)
+
+    # gravity short-range grid (pallas branch of _gravity)
+    gcap_g = _ghost_cap(n_loc, rcut, w_min, opts.spmd_ghost_frac)
+    if use_pallas:
+        n_est = int(SLAB_FILL * n_loc * (1.0 + 3.0 * rcut / w_min))
+        nx0 = max(1, int((w_min + 2.0 * rcut) / (box / nyz)))
+        cap_sr = _occ_cap_static(n_est, nx0 * nyz * nyz, opts.sr_capacity)
+        nx, nyz_g = _occ_grid_static(n_est, w_min + 2.0 * rcut, rcut,
+                                     cap_sr, nyz, box)
+    else:
+        nx = max(1, int((w_min + 2.0 * rcut) / rcut))
+        nyz_g = nyz
+        n_cat = n_loc + 2 * gcap_g
+        cap_sr = opts.sr_capacity if opts.sr_capacity > 0 else max(
+            64, -(-3 * n_cat // (nx * nyz * nyz) // 8) * 8)
+    edge_x_min = (w_min + 2.0 * rcut) / nx
+    edge_yz = box / nyz_g
+    margin_g = max(min(edge_x_min, edge_yz) - rcut,
+                   SOFT_RCUT_FRAC * rcut)
+    out.update(gcap_g=gcap_g, cap_sr=cap_sr, nx=nx, nyz_g=nyz_g,
+               margin_g=margin_g)
+
+    # SPH block grid (_sph_blocks geometry)
+    n_glob = max(1, int(SLAB_FILL * ng_loc * d))
+    nb_g, subcap = sph_blocks_geometry(cfg, opts, n_glob)
+    nb_g = max(nb_g, int(np.ceil(1.02 * box / (2.0 * w_min))))
+    subcell = box / (2 * nb_g)
+    nbx = max(1, int(np.ceil((w_max + 2.05 * subcell)
+                             / (2.0 * subcell))))
+    gcap_s = _ghost_cap(ng_loc, subcell, w_min, opts.spmd_ghost_frac)
+    out.update(nb_g=nb_g, subcap=subcap, subcell=subcell, nbx=nbx,
+               gcap_s=gcap_s, margin_s=2.0 * KAPPA_SPH * subcell,
+               max_hsml=(1.0 - 2.0 * KAPPA_SPH) * subcell)
+    return out
+
+
+def make_spmd_grid_cache(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
+                         caps, edges, domain=None, with_sph: bool = True):
+    """Allocate the (invalid) per-shard grid cache for the slab step —
+    the SPMD port of models.grids.make_grid_cache. Every leaf carries a
+    leading shard dim d (spec P(AXIS)); the local view inside shard_map
+    is [1, ...] and the step squeezes/unsqueezes it.
+
+    Cached per shard: the gravity cell list + its ghost-strip row
+    selection, and the SPH even/odd block lists + their ghost rows.
+    Ghost ROWS are part of the cache because the cell lists index the
+    concatenated [locals | ghosts] arrays: reusing assignments requires
+    the ghost buffer slot -> particle map to stay fixed between rebuilds
+    [G2: forcetree.c drifts node centres between rebuilds; export lists
+    are regenerated — here the export SELECTION is frozen with the grid
+    and only the VALUES are re-gathered each step]."""
+    from gadget_leicester_tpu.models.grids import GridCache, _empty_cl
+
+    d = mesh.shape[AXIS]
+    per = bool(opts.periodic)
+    box = float(cfg.box_size) if per else float(domain[1])
+    edges = np.asarray(edges, np.float64)
+    w_min = float(np.min(np.diff(edges)))
+    w_max = float(np.max(np.diff(edges)))
+    use_pallas = opts.use_pallas == "on" or (
+        opts.use_pallas == "auto" and jax.default_backend() == "tpu")
+    cap_g, cap_r = caps
+    n_loc = cap_g + cap_r
+    geo = slab_grid_geom(cfg, opts, d, box, w_min, w_max, use_pallas,
+                         n_loc, cap_g)
+    f = jnp.float64 if opts.dtype == "f64" else jnp.float32
+    pyz = per
+
+    def rep(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (d,) + x.shape), tree)
+
+    nx, nyz_g, cap_sr = geo["nx"], geo["nyz_g"], geo["cap_sr"]
+    n_cat_g = n_loc + 2 * geo["gcap_g"]
+    grav_cl = _empty_cl(nx * nyz_g * nyz_g, cap_sr, n_cat_g,
+                        (nx, nyz_g, nyz_g), (False, pyz, pyz), f)
+    grav = rep((grav_cl, jnp.full((2 * geo["gcap_g"],), -1, jnp.int32)))
+
+    sph = None
+    if with_sph:
+        from gadget_leicester_tpu.ops.sph_blocks import _odd3
+        nb3 = (geo["nbx"], geo["nb_g"], geo["nb_g"])
+        per3 = (False, pyz, pyz)
+        nbo3 = _odd3(nb3, per3)
+        lanes = 8 * geo["subcap"]
+        n_cat_s = cap_g + 2 * geo["gcap_s"]
+        fine = 8 * nb3[0] * nb3[1] * nb3[2]
+        cl_e = _empty_cl(nb3[0] * nb3[1] * nb3[2], lanes, n_cat_s, nb3,
+                         per3, f, counts_size=fine)
+        cl_o = _empty_cl(nbo3[0] * nbo3[1] * nbo3[2], lanes, n_cat_s,
+                         nbo3, per3, f, counts_size=fine)
+        sph = rep((cl_e, cl_o,
+                   jnp.full((2 * geo["gcap_s"],), -1, jnp.int32)))
+
+    return GridCache(
+        grav=grav, sph=sph,
+        grav_disp=jnp.zeros((d,), jnp.float32),
+        sph_disp=jnp.zeros((d,), jnp.float32),
+        grav_valid=jnp.zeros((d,), bool),
+        sph_valid=jnp.zeros((d,), bool),
+        grav_count=jnp.zeros((d,), jnp.int32),
+        sph_count=jnp.zeros((d,), jnp.int32),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -302,6 +450,52 @@ def _ghost_exchange(fields, pos_x, alive, x0, x1, margin, gcap, n_shards):
     gvalid = jnp.concatenate([jnp.arange(gcap) < c_l,
                               jnp.arange(gcap) < c_r])
     return ghosts, gvalid, o1 | o2 | (c_l > gcap) | (c_r > gcap)
+
+
+def _select_rows(mask, cap):
+    """Packed row indices [cap] (int32, -1 pad) of ``mask`` + overflow —
+    the index-only half of _pack (the cached-ghost selection)."""
+    n = mask.shape[0]
+    idxpos = jnp.cumsum(mask) - 1
+    put = jnp.where(mask & (idxpos < cap), idxpos, cap)
+    rows = jnp.full((cap + 1,), -1, jnp.int32).at[put].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
+    return rows, jnp.sum(mask) > cap
+
+
+def _ghost_rows_select(pos_x, alive, x0, x1, reach, gcap):
+    """Fresh boundary-strip row selection: [2*gcap] rows (to-left block
+    first), + overflow."""
+    rl, o1 = _select_rows(alive & (pos_x < x0 + reach), gcap)
+    rr, o2 = _select_rows(alive & (pos_x >= x1 - reach), gcap)
+    return jnp.concatenate([rl, rr]), o1 | o2
+
+
+def _ghost_exchange_rows(fields, alive, rows, gcap, n_shards):
+    """Rows-driven both-ways boundary exchange — the cached-selection
+    analog of _ghost_exchange. ``rows`` [2*gcap] from _ghost_rows_select
+    (possibly from a PREVIOUS sync point: the cell lists index ghost
+    slots, so slot -> particle must stay fixed between grid rebuilds);
+    validity ships as data (a cached row may have died since selection).
+    Returns ([2*gcap] ghost arrays in [from-left | from-right] order,
+    ghost-valid mask)."""
+    rl, rr = rows[:gcap], rows[gcap:]
+
+    def gather(rws):
+        v = (rws >= 0) & alive[jnp.maximum(rws, 0)]
+        outs = [jnp.where(v.reshape((-1,) + (1,) * (f.ndim - 1)),
+                          f[jnp.maximum(rws, 0)], jnp.zeros((), f.dtype))
+                for f in fields]
+        return outs, v
+
+    bl, vl = gather(rl)
+    br, vr = gather(rr)
+    from_left = _ring(br + [vr.astype(jnp.int32)], +1, n_shards)
+    from_right = _ring(bl + [vl.astype(jnp.int32)], -1, n_shards)
+    ghosts = [jnp.concatenate([a, b])
+              for a, b in zip(from_left[:-1], from_right[:-1])]
+    gvalid = jnp.concatenate([from_left[-1] > 0, from_right[-1] > 0])
+    return ghosts, gvalid
 
 
 def _wrap_to_slab(x, xc, box):
@@ -554,7 +748,16 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         p_new, gas_new, ovf = jax.lax.cond(
             n_move > 0, do_moves, no_moves, operand=None)
         flags = lost_flag | jnp.where(ovf, jnp.int32(4), jnp.int32(0))
-        return dataclasses.replace(st, p=p_new, gas=gas_new,
+        grids = st.grids
+        if grids is not None:
+            # migration re-slots particle rows: every cached cell list /
+            # ghost-row selection goes stale the moment anyone moves
+            # (n_move is psum'd, so the invalidation is shard-uniform)
+            moved = n_move > 0
+            grids = dataclasses.replace(
+                grids, grav_valid=grids.grav_valid & ~moved,
+                sph_valid=grids.sph_valid & ~moved)
+        return dataclasses.replace(st, p=p_new, gas=gas_new, grids=grids,
                                    overflow_flags=flags)
 
     def _gravity(st, me, x0, x1, xc, is_pm_step):
@@ -602,18 +805,47 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
 
         # O(surface) ghost buffers [G2: gravtree.c exports only flagged
         # boundary particles, bounded by BufferSize]: the strip within
-        # rcut of a face holds ~ n_local * rcut/slab_width particles;
-        # 2x safety for clustering + the chunk-fill headroom. Overflow
-        # raises flag bit 1 and the host re-runs with a bigger fraction.
-        gcap = _ghost_cap(p.n_max, rcut, w_min, opts.spmd_ghost_frac)
+        # rcut (+ the staleness margin) of a face holds
+        # ~ n_local * reach/slab_width particles; 2x safety for
+        # clustering + the chunk-fill headroom. Overflow raises flag
+        # bit 1 and the host re-runs with a bigger fraction.
+        # Grid/ghost-row SELECTION is cached in st.grids (the rebuild
+        # cadence of [G2: forcetree.c + domain.c]); the rebuild predicate
+        # is psum'd so every shard takes the same branch (the ring
+        # exchange itself runs every step, outside the cond).
+        geo = slab_grid_geom(cfg, opts, d, box, w_min, w_max, use_pallas,
+                             p.n_max, st.gas.n_gas_max)
+        gcap = geo["gcap_g"]
+        margin_g = geo["margin_g"]
+        reach_w = rcut + margin_g
+        nx, nyz_g, cap_sr = geo["nx"], geo["nyz_g"], geo["cap_sr"]
+        gr = st.grids
+        use_cache = gr is not None and gr.grav is not None
+        count_now = jnp.sum(p.alive.astype(jnp.int32))
+        if use_cache:
+            cl_cached, rows_cached = jax.tree_util.tree_map(
+                lambda x: x[0], gr.grav)
+            need_l = ((~gr.grav_valid[0])
+                      | (2.0 * gr.grav_disp[0] > margin_g)
+                      | (count_now != gr.grav_count[0]))
+            need = jax.lax.psum(need_l.astype(jnp.int32), AXIS) > 0
+            rows, ovf = jax.lax.cond(
+                need,
+                lambda _: _ghost_rows_select(_wx(p.pos[:, 0]), p.alive,
+                                             x0, x1, reach_w, gcap),
+                lambda _: (rows_cached, jnp.asarray(False)),
+                operand=None)
+        else:
+            need = None
+            rows, ovf = _ghost_rows_select(_wx(p.pos[:, 0]), p.alive,
+                                           x0, x1, reach_w, gcap)
         with jax.named_scope("spmd_ghosts_grav"):
-            ghosts, gvalid, ovf = _ghost_exchange(
-                [p.pos, p.mass, soft], _wx(p.pos[:, 0]), p.alive,
-                x0, x1, rcut, gcap, d)
+            ghosts, gvalid = _ghost_exchange_rows(
+                [p.pos, p.mass, soft], p.alive, rows, gcap, d)
         gpos, gmass, gsoft = ghosts
         gpos = _dompos(gpos)
-        gx_fixed, gvalid = _fix_ghost_x(gpos[:, 0], x0, x1, rcut,
-                                        gvalid, gcap)
+        gx_fixed, gvalid = _fix_ghost_x(gpos[:, 0], x0, x1,
+                                        reach_w + margin_g, gvalid, gcap)
         gpos = gpos.at[:, 0].set(gx_fixed)
         lpos = _dompos(p.pos)
         if per:
@@ -625,42 +857,31 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         cat_alive = jnp.concatenate([p.alive, gvalid])
 
         ext_x = (x1 - x0) + 2.0 * rcut
-        # occupancy-derived capacity (local grids are small; 3x headroom)
-        n_cat = cat_pos.shape[0]
-        if use_pallas:
-            # pair-tile work scales with the lane cap at fixed fill:
-            # estimate the REAL per-shard occupancy, not slot counts —
-            # n_cat counts the to_spmd fill-factor padding AND both
-            # ghost caps (2x+ the alive count at small d; measured 4.9x
-            # step cost at 64^3 mesh=1 when the slot count inflated the
-            # cap to 384 and over-coarsened the grid). to_spmd sizes
-            # slots as ceil(max_shard_count / SLAB_FILL), so
-            # SLAB_FILL * slots ~= the real max-shard count; ghosts add
-            # ~2 strips of reach/w_min each (1.5x clustering safety).
-            # COARSEN the grid toward ~0.8 mean fill at the chosen cap —
-            # the single-chip grav_grid_geometry tuning. Overflow flags
-            # + host capacity bumps cover deep clustering
-            # [G2: gravtree.c realloc-on-overflow].
-            n_est = int(SLAB_FILL * p.n_max * (1.0 + 3.0 * rcut / w_min))
-            nx0 = max(1, int((w_min + 2.0 * rcut) / (box / nyz)))
-            cap_sr = _occ_cap(n_est, nx0 * nyz * nyz, opts.sr_capacity)
-            nx, nyz_g = _occ_grid(n_est, w_min + 2.0 * rcut, rcut,
-                                  cap_sr, nyz)
-        else:
-            nx = max(1, int((w_min + 2.0 * rcut) / rcut))
-            nyz_g = nyz
-            cap_sr = opts.sr_capacity if opts.sr_capacity > 0 else max(
-                64, -(-3 * n_cat // (nx * nyz * nyz) // 8) * 8)
         with jax.named_scope("spmd_sr_build"):
-            cl = build_cell_list(
-                cat_pos, cat_alive,
-                origin=jnp.stack([x0 - rcut, jnp.float32(0.0),
-                                  jnp.float32(0.0)]).astype(lpos.dtype),
-                extent=jnp.stack([ext_x, jnp.float32(box),
-                                  jnp.float32(box)]).astype(lpos.dtype),
-                n_cells=(nx, nyz_g, nyz_g),
-                capacity=cap_sr,
-                periodic=(False, pyz, pyz))
+            def build_cl(_):
+                return build_cell_list(
+                    cat_pos, cat_alive,
+                    origin=jnp.stack([x0 - rcut, jnp.float32(0.0),
+                                      jnp.float32(0.0)]).astype(lpos.dtype),
+                    extent=jnp.stack([ext_x, jnp.float32(box),
+                                      jnp.float32(box)]).astype(lpos.dtype),
+                    n_cells=(nx, nyz_g, nyz_g),
+                    capacity=cap_sr,
+                    periodic=(False, pyz, pyz))
+
+            if use_cache:
+                cl = jax.lax.cond(need, build_cl, lambda _: cl_cached,
+                                  operand=None)
+            else:
+                cl = build_cl(None)
+        if use_cache:
+            grids = dataclasses.replace(
+                gr,
+                grav=jax.tree_util.tree_map(lambda x: x[None], (cl, rows)),
+                grav_valid=jnp.ones((1,), bool),
+                grav_disp=jnp.where(need, 0.0, gr.grav_disp),
+                grav_count=jnp.full((1,), count_now, jnp.int32))
+            st = dataclasses.replace(st, grids=grids)
         # sinks/Stamatellos consume the potential every sync point, so
         # add the fresh short-range term in-step (the single-chip analog
         # in forces._treepm_gravity) [G2: potential.c with PMGRID]
@@ -725,8 +946,6 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         cell kernels on TPU — at 64^3 mesh=1 the cell SPH phase cost
         371 ms vs the single-chip blocks path's 65 ms
         [G2: density.c/hydra.c run the same loops on every MPI rank]."""
-        from gadget_leicester_tpu.models.grids import (KAPPA_SPH,
-                                                       sph_blocks_geometry)
         from gadget_leicester_tpu.ops.sph_blocks import (
             build_block_lists, density_adaptive_blocks, hydro_force_blocks)
 
@@ -741,18 +960,18 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
 
         # global-count geometry: the SAME fine edge (and h cap) at every
         # shard count, matching the single-chip blocks path (slot counts
-        # carry the to_spmd fill padding — scale by SLAB_FILL)
-        n_glob = max(1, int(SLAB_FILL * ng * d))
-        nb_g, subcap = sph_blocks_geometry(cfg, opts, n_glob)
-        # ghost strips come from ADJACENT shards only: fine edge <= w_min
-        nb_g = max(nb_g, int(np.ceil(1.02 * box / (2.0 * w_min))))
-        subcell = box / (2 * nb_g)
-        max_hsml = (1.0 - 2.0 * KAPPA_SPH) * subcell
+        # carry the to_spmd fill padding — scale by SLAB_FILL); shared
+        # with the cache allocator via slab_grid_geom
+        geo = slab_grid_geom(cfg, opts, d, box, w_min, w_max, use_pallas,
+                             p.n_max, ng)
+        nb_g, subcap = geo["nb_g"], geo["subcap"]
+        subcell = geo["subcell"]
+        max_hsml = geo["max_hsml"]
+        margin_s = geo["margin_s"]
         reach = subcell
         # static x block count covers the WIDEST slab; narrower slabs
         # carry empty trailing blocks (skipped by the activity flags)
-        nbx = max(1, int(np.ceil((w_max + 2.05 * reach)
-                                 / (2.0 * subcell))))
+        nbx = geo["nbx"]
         nb3 = (nbx, nb_g, nb_g)
         per3 = (False, pyz, pyz)
         extent3 = np.asarray([2.0 * nbx * subcell, box, box], np.float64)
@@ -761,21 +980,43 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         if per:
             lpos = lpos.at[:, 0].set(
                 _wrap_to_slab(jnp.mod(p.pos[:ng, 0], box), xc, box))
-        gcap = _ghost_cap(ng, reach, w_min, opts.spmd_ghost_frac)
+        gcap = geo["gcap_s"]
         h0 = jnp.minimum(gas.hsml, max_hsml)
+
+        # cached block lists + ghost-row selection (see _gravity; the
+        # strip reach = subcell already carries the 2*kappa slack over
+        # max_hsml, so cached selections stay valid within margin_s)
+        gr = st.grids
+        use_cache = gr is not None and gr.sph is not None
+        count_now = jnp.sum(gas_mask.astype(jnp.int32))
+        if use_cache:
+            cle_c, clo_c, rows_c = jax.tree_util.tree_map(
+                lambda x: x[0], gr.sph)
+            need_l = ((~gr.sph_valid[0])
+                      | (2.0 * gr.sph_disp[0] > margin_s)
+                      | (count_now != gr.sph_count[0]))
+            need = jax.lax.psum(need_l.astype(jnp.int32), AXIS) > 0
+            rows, ovf1 = jax.lax.cond(
+                need,
+                lambda _: _ghost_rows_select(_wx(p.pos[:ng, 0]), gas_mask,
+                                             x0, x1, reach, gcap),
+                lambda _: (rows_c, jnp.asarray(False)),
+                operand=None)
+        else:
+            need = None
+            rows, ovf1 = _ghost_rows_select(_wx(p.pos[:ng, 0]), gas_mask,
+                                            x0, x1, reach, gcap)
 
         # ---- round 1: kinematic ghosts for the density solve ---------
         with jax.named_scope("spmd_ghosts_sph1"):
-            ghosts, gvalid, ovf1 = _ghost_exchange(
-                [p.pos[:ng], gas.vel_pred, p.mass[:ng],
-                 gas_mask.astype(jnp.int32)],
-                _wx(p.pos[:ng, 0]), gas_mask, x0, x1, reach, gcap, d)
-        gpos, gvel, gmass, gmask_i = ghosts
+            ghosts, gv = _ghost_exchange_rows(
+                [p.pos[:ng], gas.vel_pred, p.mass[:ng]], gas_mask,
+                rows, gcap, d)
+        gpos, gvel, gmass = ghosts
         gpos = _dompos(gpos)
-        gx_f, gvalid = _fix_ghost_x(gpos[:, 0], x0, x1, reach,
-                                    gvalid, gcap)
+        gx_f, gv = _fix_ghost_x(gpos[:, 0], x0, x1, reach + margin_s,
+                                gv, gcap)
         gpos = gpos.at[:, 0].set(gx_f)
-        gv = gvalid & (gmask_i > 0)
         cat_pos = jnp.concatenate([lpos, gpos])
         cat_vel = jnp.concatenate([gas.vel_pred, gvel])
         cat_mass = jnp.concatenate([p.mass[:ng], gmass])
@@ -790,10 +1031,25 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         origin3 = jnp.stack([x0 - reach, jnp.float32(0.0),
                              jnp.float32(0.0)]).astype(lpos.dtype)
         with jax.named_scope("spmd_sph_build"):
-            cls = build_block_lists(cat_pos, cat_mask, origin3,
-                                    jnp.asarray(extent3, lpos.dtype),
-                                    n_blocks=nb3, subcap=subcap,
-                                    periodic=per3)
+            def build_cls(_):
+                return build_block_lists(cat_pos, cat_mask, origin3,
+                                         jnp.asarray(extent3, lpos.dtype),
+                                         n_blocks=nb3, subcap=subcap,
+                                         periodic=per3)
+
+            if use_cache:
+                cls = jax.lax.cond(need, build_cls,
+                                   lambda _: (cle_c, clo_c), operand=None)
+            else:
+                cls = build_cls(None)
+        if use_cache:
+            st = dataclasses.replace(st, grids=dataclasses.replace(
+                gr,
+                sph=jax.tree_util.tree_map(lambda x: x[None],
+                                           (cls[0], cls[1], rows)),
+                sph_valid=jnp.ones((1,), bool),
+                sph_disp=jnp.where(need, 0.0, gr.sph_disp),
+                sph_count=jnp.full((1,), count_now, jnp.int32)))
         with jax.named_scope("spmd_sph_density"):
             dres, _ = density_adaptive_blocks(
                 cat_pos, cat_vel, cat_mass, h_cat, cat_mask,
@@ -819,21 +1075,14 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
         pressure = jnp.where(gas_mask, pressure, 0.0)
 
         # ---- round 2: hydro ghosts (post-density fields) --------------
+        # the SAME row selection as round 1 (the cell lists index ghost
+        # slots; only field VALUES changed since the density pass)
         with jax.named_scope("spmd_ghosts_sph2"):
-            ghosts2, gvalid2, ovf2 = _ghost_exchange(
-                [p.pos[:ng], gas.vel_pred, p.mass[:ng], hsml, rho,
-                 pressure, dhf, divv, curlv,
-                 gas_mask.astype(jnp.int32)],
-                _wx(p.pos[:ng, 0]), gas_mask, x0, x1, reach, gcap, d)
-        (g2pos, g2vel, g2mass, g2h, g2rho, g2prs, g2dhf, g2div, g2curl,
-         g2mask_i) = ghosts2
-        g2pos = _dompos(g2pos)
-        g2x_f, gvalid2 = _fix_ghost_x(g2pos[:, 0], x0, x1, reach,
-                                      gvalid2, gcap)
-        gv2 = gvalid2 & (g2mask_i > 0)
-        # the hydro pass reuses the density block lists: round 2's
-        # positions and mask are IDENTICAL to round 1's (same locals,
-        # same deterministic strip packing — only field VALUES changed)
+            ghosts2, gv2 = _ghost_exchange_rows(
+                [hsml, rho, pressure, dhf, divv, curlv], gas_mask,
+                rows, gcap, d)
+        g2h, g2rho, g2prs, g2dhf, g2div, g2curl = ghosts2
+        gv2 = gv2 & gv
         with jax.named_scope("spmd_sph_hydro"):
             hres = hydro_force_blocks(
                 cls, cat_pos, cat_vel, cat_mass,
@@ -860,7 +1109,7 @@ def make_spmd_step(cfg: SimConfig, opts: SimOptions, mesh: Mesh,
                         gas.max_signal_vel)
 
         flags = st.overflow_flags | jnp.where(
-            cls[0].overflow | ovf1 | ovf2, jnp.int32(2), jnp.int32(0))
+            cls[0].overflow | ovf1, jnp.int32(2), jnp.int32(0))
         gas = dataclasses.replace(
             gas, density=rho, hsml=hsml, pressure=pressure, div_vel=divv,
             curl_vel=curlv, dhsml_density_factor=dhf, num_ngb=nngb,
